@@ -1,0 +1,238 @@
+"""CommonScenes v2_full: layout VAE + relation-conditioned latent shape
+diffusion, composed as pure JAX functions over explicit parameter trees.
+
+Capability parity with the reference's Sg2ScVAEModel(v2_full) + SDFusion
+engine composition (model/VAEGAN_V2FULL.py:465-558,
+model/sdfusion_txt2shape_model.py:348-365, :460-516):
+
+* training: encode → reparameterize → manipulate → E2 relation tokens →
+  select SDF subset → frozen VQ-VAE encode → eps-loss; decoder → boxes/angles.
+* sampling: z ~ N(mean_est, cov_est) per node → relation tokens → DDIM with
+  CFG (uc_scale 3) → VQ-VAE decode → boxes/angles.
+
+TPU redesign: the frozen VQ-VAE is a separate parameter tree (never sees the
+optimizer — the reference instead filters requires_grad); the class-balanced
+SDF selection is host-side index bookkeeping carried in ShapeBatch; the
+whole train forward is one jittable function; DDIM is a lax.scan.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from commonscenes_tpu.core.config import FullConfig
+from commonscenes_tpu.core.graph import GraphBatch, SceneView, ShapeBatch
+from commonscenes_tpu.diffusion import gaussian
+from commonscenes_tpu.diffusion.ddim import ddim_sample
+from commonscenes_tpu.diffusion.schedule import (make_ddim_tables,
+                                                 make_noise_schedule)
+from commonscenes_tpu.models.layout_vae import LayoutVAE
+from commonscenes_tpu.nn.unet3d import ConditionedDenoiser
+from commonscenes_tpu.nn.vqvae3d import VQVAE3D
+
+
+class ModelOutputs(NamedTuple):
+    mu: jax.Array
+    logvar: jax.Array
+    boxes: jax.Array            # [B·N, 6] predictions (normalized space)
+    angles: Optional[jax.Array]  # [B·N, 24] log-probs
+    keep: jax.Array             # [B·N] 1 = untouched node
+    diff_losses: Optional[gaussian.DiffusionLosses]
+
+
+class CommonScenesV2Full:
+    """Builder/holder for the three module trees + schedule tables."""
+
+    def __init__(self, cfg: FullConfig, num_obj_classes: int,
+                 num_pred_classes: int, dtype=None):
+        self.cfg = cfg
+        self.num_obj_classes = num_obj_classes
+        self.num_pred_classes = num_pred_classes
+        self.dtype = dtype
+
+        self.layout = LayoutVAE(
+            cfg.layout, num_obj_classes, num_pred_classes,
+            build_rel_encoder=True,
+            conditioning_key=cfg.diffusion.conditioning_key, dtype=dtype)
+        self.denoiser = ConditionedDenoiser(
+            cfg.unet, conditioning_key=cfg.diffusion.conditioning_key,
+            dtype=dtype)
+        self.vqvae = VQVAE3D(cfg.vqvae, dtype=dtype)
+        self.sched = make_noise_schedule(
+            cfg.diffusion.timesteps, cfg.diffusion.beta_schedule,
+            cfg.diffusion.linear_start, cfg.diffusion.linear_end,
+            cfg.diffusion.cosine_s, parameterization=cfg.diffusion.parameterization)
+        self.ddim_tables = make_ddim_tables(
+            self.sched, cfg.diffusion.ddim_steps, cfg.diffusion.ddim_eta)
+
+    # ------------------------------------------------------------------
+    # init
+    # ------------------------------------------------------------------
+
+    def init(self, key: jax.Array, batch: GraphBatch) -> Dict[str, Any]:
+        """Returns {'layout': vars, 'df': vars, 'vqvae': vars} flax variable
+        trees (each may contain 'params' and 'batch_stats')."""
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        layout_vars = self.layout.init(
+            {"params": k1}, batch.enc, batch.dec, batch.node_new,
+            batch.node_changed, k4, train=False)
+
+        z_sp = self.cfg.vqvae.z_spatial
+        zc = self.cfg.vqvae.embed_dim
+        S = batch.shapes.sdf.shape[0] if batch.shapes is not None else 1
+        x_lat = jnp.zeros((S, z_sp, z_sp, z_sp, zc), jnp.float32)
+        t = jnp.zeros((S,), jnp.int32)
+        cond = self._dummy_cond(S)
+        df_vars = self.denoiser.init({"params": k2}, x_lat, t, cond)
+
+        R = self.cfg.batch.sdf_res
+        vq_vars = self.vqvae.init({"params": k3}, jnp.zeros((1, R, R, R, 1)))
+        return {"layout": layout_vars, "df": df_vars, "vqvae": vq_vars}
+
+    def _dummy_cond(self, S: int) -> jax.Array:
+        if self.cfg.diffusion.conditioning_key == "crossattn":
+            return jnp.zeros((S, 1, self.cfg.layout.rel_out_crossattn))
+        return jnp.zeros((S, self.cfg.layout.rel_out_concat))
+
+    # ------------------------------------------------------------------
+    # training forward
+    # ------------------------------------------------------------------
+
+    def train_forward(self, variables: Dict[str, Any], batch: GraphBatch,
+                      key: jax.Array, train: bool = True
+                      ) -> Tuple[ModelOutputs, Dict[str, Any]]:
+        """Full v2_full forward. Returns outputs + mutated batch_stats."""
+        k_layout, k_t, k_noise = jax.random.split(key, 3)
+
+        mutable = ["batch_stats"] if train else []
+        layout_out, layout_updates = self.layout.apply(
+            variables["layout"], batch.enc, batch.dec, batch.node_new,
+            batch.node_changed, k_layout, train=train, mutable=mutable)
+
+        diff_losses = None
+        if batch.shapes is not None:
+            diff_losses = self._shape_branch(
+                variables, batch.shapes, layout_out["uc_rel"],
+                layout_out["c_rel"], k_t, k_noise, train=train)
+
+        keep = batch.keep_mask.reshape(-1)
+        outputs = ModelOutputs(
+            mu=layout_out["mu"], logvar=layout_out["logvar"],
+            boxes=layout_out["boxes"], angles=layout_out["angles"],
+            keep=keep, diff_losses=diff_losses)
+        updates = {"layout": layout_updates} if train else {}
+        return outputs, updates
+
+    def _gather_cond(self, rel: jax.Array, shapes: ShapeBatch,
+                     max_objs: int) -> jax.Array:
+        """rel [B·N, 1, W] → per-selected-object cond [S, 1, W] (or reshaped
+        concat grid)."""
+        flat_idx = shapes.scene_idx * max_objs + shapes.slot_idx
+        sel = jnp.take(rel, flat_idx, axis=0)
+        if self.cfg.diffusion.conditioning_key == "concat":
+            return sel.reshape(sel.shape[0], -1)
+        return sel
+
+    def _shape_branch(self, variables, shapes: ShapeBatch, uc_rel, c_rel,
+                      k_t, k_noise, train: bool) -> gaussian.DiffusionLosses:
+        """Diffusion eps-loss on the selected SDF subset (reference
+        VAEGAN_V2FULL.py:511-521 → sdfusion forward :348-365)."""
+        max_objs = self.cfg.batch.max_objs
+        cond = self._gather_cond(c_rel if c_rel is not None else uc_rel,
+                                 shapes, max_objs)
+
+        # frozen first stage: encode SDF → latent, no gradients
+        z = self.vqvae.apply(variables["vqvae"], shapes.sdf,
+                             method=VQVAE3D.encode_no_quant)
+        z = jax.lax.stop_gradient(z.astype(jnp.float32))
+
+        S = z.shape[0]
+        t = gaussian.sample_timesteps(k_t, S, self.sched.num_timesteps)
+        noise = jax.random.normal(k_noise, z.shape, z.dtype)
+
+        def denoise_fn(x_noisy, tt, c):
+            return self.denoiser.apply(variables["df"], x_noisy, tt, c)
+
+        return gaussian.p_losses(
+            denoise_fn, self.sched, z, cond, t, noise,
+            sample_mask=shapes.mask,
+            l_simple_weight=self.cfg.diffusion.l_simple_weight,
+            original_elbo_weight=self.cfg.diffusion.original_elbo_weight)
+
+    # ------------------------------------------------------------------
+    # sampling (reference VAEGAN_V2FULL.sample :600-618 + rel2shape :460-516)
+    # ------------------------------------------------------------------
+
+    def sample(self, variables: Dict[str, Any], dec: SceneView,
+               mean_est: jax.Array, cov_chol: jax.Array, key: jax.Array,
+               gen_shape: bool = True, shape_mask: Optional[jax.Array] = None,
+               ddim_tables=None, uc_scale: Optional[float] = None,
+               shared_noise: bool = True):
+        """Generate boxes/angles (+ SDF grids) for a decoder-view batch.
+
+        mean_est [Dz] / cov_chol [Dz, Dz] are the train-set latent statistics
+        (Cholesky factor of the covariance); z = mean + L·ε reproduces the
+        reference's np.random.multivariate_normal draw (VAE.py:160-191).
+        ``shared_noise`` repeats a single x_T across objects like the
+        reference's rel2shape (sdfusion_txt2shape_model.py:487-491).
+        """
+        cfg = self.cfg
+        uc_scale = cfg.diffusion.uc_scale if uc_scale is None else uc_scale
+        tables = ddim_tables if ddim_tables is not None else self.ddim_tables
+        k_z, k_noise = jax.random.split(key)
+
+        B, N = dec.objs.shape
+        eps = jax.random.normal(k_z, (B * N, mean_est.shape[0]))
+        z = mean_est[None, :] + eps @ cov_chol.T
+
+        uc_rel, c_rel = self.layout.apply(
+            variables["layout"], z, dec, train=False,
+            method=LayoutVAE.rel_encode)
+        if c_rel is None:
+            c_rel = uc_rel
+
+        boxes, angles = self.layout.apply(
+            variables["layout"], z, dec, train=False,
+            method=LayoutVAE.decode)
+
+        gen_sdf = None
+        if gen_shape:
+            z_sp, zc = cfg.vqvae.z_spatial, cfg.vqvae.embed_dim
+            if shared_noise:
+                single = jax.random.normal(k_noise, (1, z_sp, z_sp, z_sp, zc))
+                x_T = jnp.tile(single, (B * N, 1, 1, 1, 1))
+            else:
+                x_T = jax.random.normal(k_noise, (B * N, z_sp, z_sp, z_sp, zc))
+
+            if cfg.diffusion.conditioning_key == "concat":
+                c_in = c_rel.reshape(B * N, -1)
+                uc_in = uc_rel.reshape(B * N, -1)
+            else:
+                c_in, uc_in = c_rel, uc_rel
+
+            def denoise_fn(x, t, c):
+                return self.denoiser.apply(variables["df"], x, t, c)
+
+            samples = ddim_sample(denoise_fn, tables, x_T, c_in, uc_in,
+                                  uc_scale=uc_scale)
+            gen_sdf = self.vqvae.apply(variables["vqvae"], samples,
+                                       method=VQVAE3D.decode_no_quant)
+            if shape_mask is not None:
+                gen_sdf = gen_sdf * shape_mask.reshape(-1, 1, 1, 1, 1)
+
+        return {"boxes": boxes, "angles": angles, "sdf": gen_sdf, "z": z}
+
+    # ------------------------------------------------------------------
+    # train-set latent statistics (reference collect_train_statistics,
+    # VAEGAN_V2FULL.py:700-760)
+    # ------------------------------------------------------------------
+
+    def encode_means(self, variables, enc: SceneView) -> Tuple[np.ndarray, np.ndarray]:
+        mu, _ = self.layout.apply(variables["layout"], enc, train=False,
+                                  method=LayoutVAE.encode)
+        mask = np.asarray(enc.obj_mask).reshape(-1) > 0
+        return np.asarray(mu)[mask], mask

@@ -1,0 +1,217 @@
+"""3D latent-denoiser UNet, TPU-native (NDHWC, bf16-capable).
+
+Capability parity with the reference ``UNet3DModel``
+(model/networks/diffusion_networks/openai_model_3d.py:452-789) at the
+config/sdfusion-txt2shape.yaml operating point: model_channels 224,
+channel_mult (1,2,3), 2 res blocks/level, spatial-transformer attention at
+downsample factors {4, 2}, context_dim 1280, sinusoidal time embedding.
+
+Faithfully reproduced semantics that matter for parity:
+* dims=3 down/up-sampling touches ONLY the inner two spatial axes
+  (openai_model_3d.py:150-158 and :188 — stride (1,2,2)), so a 16³ latent
+  runs 16×16×16 → 16×8×8 → 16×4×4 with depth pinned at 16.
+* zero-initialized output convs on res blocks / transformers / final head.
+* time embedding is [cos, sin] ordered (ldm_diffusion_util.py:174-195).
+
+TPU redesign: channels-last layout feeds XLA's conv-to-MXU tiling, group
+norms run in fp32, everything else can run bf16, and ``use_checkpoint``
+maps to ``nn.remat`` instead of the torch CheckpointFunction.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from commonscenes_tpu.core.config import UNetConfig
+from commonscenes_tpu.nn.attention import GroupNorm, SpatialTransformer3D
+
+
+def timestep_embedding(timesteps: jax.Array, dim: int,
+                       max_period: int = 10000) -> jax.Array:
+    """Sinusoidal embeddings, [N] → [N, dim], cos-first ordering."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period)
+                    * jnp.arange(half, dtype=jnp.float32) / half)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+def conv3(features: int, name: str, zero_init: bool = False,
+          strides=(1, 1, 1), dtype=None) -> nn.Conv:
+    init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
+    return nn.Conv(features, kernel_size=(3, 3, 3), strides=strides,
+                   padding=1, kernel_init=init, dtype=dtype, name=name)
+
+
+class ResBlock3D(nn.Module):
+    """GN→SiLU→conv, +time-emb, GN→SiLU→zero-conv, with skip projection
+    (reference openai_model_3d.py:202-314, use_scale_shift_norm=False)."""
+
+    out_channels: int
+    dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, emb: jax.Array,
+                 deterministic: bool = True) -> jax.Array:
+        in_ch = x.shape[-1]
+        h = GroupNorm(name="norm1")(x)
+        h = nn.silu(h)
+        h = conv3(self.out_channels, "conv1", dtype=self.dtype)(h)
+
+        emb_out = nn.Dense(self.out_channels, dtype=self.dtype,
+                           name="emb_proj")(nn.silu(emb))
+        h = h + emb_out[:, None, None, None, :].astype(h.dtype)
+
+        h = GroupNorm(name="norm2")(h)
+        h = nn.silu(h)
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = conv3(self.out_channels, "conv2", zero_init=True, dtype=self.dtype)(h)
+
+        if in_ch != self.out_channels:
+            x = nn.Conv(self.out_channels, kernel_size=(1, 1, 1),
+                        dtype=self.dtype, name="skip")(x)
+        return x + h
+
+
+class DownsampleHW(nn.Module):
+    """Strided conv halving H and W only (reference stride (1,2,2))."""
+
+    channels: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return conv3(self.channels, "op", strides=(1, 2, 2), dtype=self.dtype)(x)
+
+
+class UpsampleHW(nn.Module):
+    """Nearest-neighbor 2× on H and W only, then conv."""
+
+    channels: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B, D, H, W, C = x.shape
+        x = jnp.repeat(x, 2, axis=2)
+        x = jnp.repeat(x, 2, axis=3)
+        return conv3(self.channels, "conv", dtype=self.dtype)(x)
+
+
+class UNet3D(nn.Module):
+    """The denoiser ε̂(x_t, t, context). Input/output [B, D, H, W, C]."""
+
+    cfg: UNetConfig
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, timesteps: jax.Array,
+                 context: Optional[jax.Array] = None,
+                 deterministic: bool = True) -> jax.Array:
+        cfg = self.cfg
+        mc = cfg.model_channels
+        time_dim = mc * 4
+
+        t_emb = timestep_embedding(timesteps, mc)
+        emb = nn.Dense(time_dim, dtype=self.dtype, name="time_0")(t_emb.astype(
+            self.dtype or jnp.float32))
+        emb = nn.silu(emb)
+        emb = nn.Dense(time_dim, dtype=self.dtype, name="time_1")(emb)
+
+        def attn_layer(ch: int, name: str):
+            heads = cfg.num_heads
+            return SpatialTransformer3D(
+                heads=heads, dim_head=ch // heads, depth=cfg.transformer_depth,
+                context_dim=cfg.context_dim, use_checkpoint=cfg.use_checkpoint,
+                dtype=self.dtype, name=name)
+
+        h = conv3(mc, "conv_in", dtype=self.dtype)(x.astype(self.dtype or x.dtype))
+        hs = [h]
+        ds = 1
+        block = 0
+        # --- encoder ---
+        for level, mult in enumerate(cfg.channel_mult):
+            ch = mc * mult
+            for _ in range(cfg.num_res_blocks):
+                h = ResBlock3D(ch, cfg.dropout, dtype=self.dtype,
+                               name=f"down_res_{block}")(h, emb, deterministic)
+                if ds in cfg.attention_resolutions:
+                    h = attn_layer(ch, f"down_attn_{block}")(h, context)
+                hs.append(h)
+                block += 1
+            if level != len(cfg.channel_mult) - 1:
+                h = DownsampleHW(ch, dtype=self.dtype, name=f"down_{level}")(h)
+                hs.append(h)
+                ds *= 2
+
+        # --- middle ---
+        ch = mc * cfg.channel_mult[-1]
+        h = ResBlock3D(ch, cfg.dropout, dtype=self.dtype,
+                       name="mid_res_0")(h, emb, deterministic)
+        h = attn_layer(ch, "mid_attn")(h, context)
+        h = ResBlock3D(ch, cfg.dropout, dtype=self.dtype,
+                       name="mid_res_1")(h, emb, deterministic)
+
+        # --- decoder ---
+        block = 0
+        for level, mult in reversed(list(enumerate(cfg.channel_mult))):
+            ch = mc * mult
+            for i in range(cfg.num_res_blocks + 1):
+                skip = hs.pop()
+                h = jnp.concatenate([h, skip], axis=-1)
+                h = ResBlock3D(ch, cfg.dropout, dtype=self.dtype,
+                               name=f"up_res_{block}")(h, emb, deterministic)
+                if ds in cfg.attention_resolutions:
+                    h = attn_layer(ch, f"up_attn_{block}")(h, context)
+                if level and i == cfg.num_res_blocks:
+                    h = UpsampleHW(ch, dtype=self.dtype, name=f"up_{level}")(h)
+                    ds //= 2
+                block += 1
+
+        h = GroupNorm(name="norm_out")(h)
+        h = nn.silu(h)
+        h = conv3(cfg.out_channels, "conv_out", zero_init=True,
+                  dtype=self.dtype)(h)
+        return h.astype(jnp.float32)
+
+
+class ConditionedDenoiser(nn.Module):
+    """Conditioning dispatch (reference
+    model/networks/diffusion_networks/network.py:20-42): 'crossattn' feeds
+    relation tokens to the spatial transformers; 'concat' reshapes the
+    relation vector to a [B,16,16,16,Cc] grid concatenated to x_t."""
+
+    cfg: UNetConfig
+    conditioning_key: str = "crossattn"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, timesteps: jax.Array,
+                 cond: Optional[jax.Array] = None,
+                 deterministic: bool = True) -> jax.Array:
+        if self.conditioning_key == "crossattn":
+            ctx = cond  # [B, M, context_dim]
+            unet_in = x
+        elif self.conditioning_key == "concat":
+            B, D, H, W, _ = x.shape
+            grid = cond.reshape(B, -1, D, H, W)
+            grid = jnp.moveaxis(grid, 1, -1)  # [B, D, H, W, Cc]
+            unet_in = jnp.concatenate([x, grid.astype(x.dtype)], axis=-1)
+            ctx = None
+        elif self.conditioning_key in (None, "none"):
+            unet_in = x
+            ctx = None
+        else:
+            raise NotImplementedError(self.conditioning_key)
+        return UNet3D(self.cfg, dtype=self.dtype, name="unet")(
+            unet_in, timesteps, ctx, deterministic)

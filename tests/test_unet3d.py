@@ -1,0 +1,87 @@
+"""Shape/structure tests for the 3D denoiser UNet (tiny config)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from commonscenes_tpu.core.config import UNetConfig
+from commonscenes_tpu.nn.unet3d import ConditionedDenoiser, UNet3D, timestep_embedding
+
+TINY = UNetConfig(image_size=8, in_channels=2, out_channels=2,
+                  model_channels=32, num_res_blocks=1,
+                  attention_resolutions=(2,), channel_mult=(1, 2),
+                  num_heads=4, context_dim=16, use_checkpoint=False)
+
+
+def test_timestep_embedding_cos_first():
+    emb = timestep_embedding(jnp.array([0.0]), 8)
+    # t=0: cos(0)=1 for first half, sin(0)=0 for second half
+    np.testing.assert_allclose(np.asarray(emb[0, :4]), 1.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(emb[0, 4:]), 0.0, atol=1e-6)
+
+
+def test_unet_forward_shape():
+    model = UNet3D(TINY)
+    x = jnp.zeros((2, 8, 8, 8, 2))
+    t = jnp.array([3, 500], jnp.int32)
+    ctx = jnp.zeros((2, 1, 16))
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx)
+    out = model.apply(params, x, t, ctx)
+    assert out.shape == (2, 8, 8, 8, 2)
+    assert out.dtype == jnp.float32
+
+
+def test_unet_depth_preserving_downsample():
+    """Depth axis must stay fixed while H/W halve (reference stride (1,2,2))."""
+    captured = {}
+    model = UNet3D(TINY)
+    x = jnp.zeros((1, 8, 8, 8, 2))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((1, 1, 16))
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx)
+    # inspect downsample conv kernel strides indirectly: run with a non-cubic
+    # input and confirm output shape keeps depth
+    x2 = jnp.zeros((1, 8, 16, 16, 2))
+    out = model.apply(params, x2, t, ctx)
+    assert out.shape == (1, 8, 16, 16, 2)
+
+
+def test_zero_init_output_at_init():
+    model = UNet3D(TINY)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 8, 2))
+    t = jnp.array([10], jnp.int32)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 1, 16))
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx)
+    out = model.apply(params, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+def test_conditioned_denoiser_concat():
+    cfg = UNetConfig(image_size=4, in_channels=2 + 1, out_channels=2,
+                     model_channels=32, num_res_blocks=1,
+                     attention_resolutions=(), channel_mult=(1, 2),
+                     num_heads=4, context_dim=None, use_checkpoint=False,
+                     use_spatial_transformer=False)
+    model = ConditionedDenoiser(cfg, conditioning_key="concat")
+    x = jnp.zeros((2, 4, 4, 4, 2))
+    cond = jnp.zeros((2, 4 * 4 * 4 * 1))
+    t = jnp.zeros((2,), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x, t, cond)
+    out = model.apply(params, x, t, cond)
+    assert out.shape == (2, 4, 4, 4, 2)
+
+
+def test_cross_attention_context_changes_output():
+    model = UNet3D(TINY)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 8, 2))
+    t = jnp.array([10], jnp.int32)
+    c1 = jax.random.normal(jax.random.PRNGKey(2), (1, 1, 16))
+    c2 = jax.random.normal(jax.random.PRNGKey(3), (1, 1, 16))
+    params = model.init(jax.random.PRNGKey(0), x, t, c1)
+    # perturb params away from zero-init so output is context sensitive
+    params = jax.tree.map(
+        lambda p: p + 0.02 * jax.random.normal(jax.random.PRNGKey(4), p.shape),
+        params)
+    o1 = model.apply(params, x, t, c1)
+    o2 = model.apply(params, x, t, c2)
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
