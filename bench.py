@@ -1,0 +1,116 @@
+"""Benchmark: v2_full scene generation throughput (DDIM-100 with CFG).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Protocol mirrors the reference eval hot loop (scripts/eval_3dfront.py:444 →
+VAEGAN_V2FULL.sample:600 → rel2shape → DDIMSampler 100 steps, CFG scale 3,
+per-object shape generation): one "scene" = layout decode + relation
+encoding + full-size SDFusion shape diffusion for its objects + VQ-VAE
+decode to 64³ SDF grids.
+
+Baseline: the reference publishes no numbers (BASELINE.json.published = {}),
+so vs_baseline is computed against an analytic A100 estimate documented
+below: the same sampling workload's measured XLA FLOPs divided by a
+generous fp32-torch A100 effective throughput (19.5 TFLOPS peak × 40% MFU),
+since the reference trains/samples in fp32 (openai_model_3d.py:736-750 fp16
+exists but is never invoked).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+A100_FP32_EFFECTIVE_FLOPS = 19.5e12 * 0.40  # fp32 torch, generous MFU
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from commonscenes_tpu.core.config import FullConfig
+    from commonscenes_tpu.data.collate import collate
+    from commonscenes_tpu.data.synthetic import make_scene
+    from commonscenes_tpu.data.vocab import Vocab
+    from commonscenes_tpu.models.commonscenes import CommonScenesV2Full
+
+    vocab = Vocab.synthetic()
+    cfg = FullConfig()  # full reference operating point (224ch UNet, 64^3 VQVAE)
+    objs_per_scene = 8
+    scenes_per_batch = int(os.environ.get("BENCH_SCENES", "1"))
+    cfg = cfg.replace(batch=cfg.batch.__class__(
+        batch_size=scenes_per_batch, max_objs=objs_per_scene + 1,
+        max_triples=96, diffusion_bs=4, sdf_res=64))
+
+    model = CommonScenesV2Full(cfg, vocab.num_obj_classes,
+                               vocab.num_pred_classes,
+                               dtype=jnp.bfloat16)
+
+    rng = np.random.RandomState(0)
+    scenes = [make_scene(vocab, rng, num_objs=objs_per_scene, sdf_res=64)
+              for _ in range(scenes_per_batch)]
+    batch = collate(scenes, vocab, cfg.batch, rng, with_shapes=True)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+
+    dz = cfg.layout.embedding_dim
+    mean_est = jnp.zeros((dz,))
+    cov_chol = jnp.eye(dz) * 0.5
+
+    def sample_fn(variables, dec, key):
+        out = model.sample(variables, dec, mean_est, cov_chol, key,
+                           gen_shape=True)
+        return out["boxes"], out["angles"], out["sdf"]
+
+    jitted = jax.jit(sample_fn)
+
+    # compile + FLOPs accounting
+    lowered = jitted.lower(variables, batch.dec, jax.random.PRNGKey(1))
+    compiled = lowered.compile()
+    try:
+        flops = float(compiled.cost_analysis()["flops"])
+    except Exception:
+        flops = 0.0
+
+    # warmup
+    out = jitted(variables, batch.dec, jax.random.PRNGKey(1))
+    jax.block_until_ready(out)
+
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = jitted(variables, batch.dec, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    scenes_done = iters * scenes_per_batch
+    scenes_per_sec = scenes_done / dt
+    steps_per_sec = iters * cfg.diffusion.ddim_steps / dt
+
+    if flops > 0:
+        baseline_scene_sec = A100_FP32_EFFECTIVE_FLOPS / flops * scenes_per_batch
+        vs_baseline = scenes_per_sec / baseline_scene_sec
+    else:
+        vs_baseline = float("nan")
+
+    print(json.dumps({
+        "metric": "scenes/sec/chip (v2_full DDIM-100 CFG, 8 objs/scene)",
+        "value": round(scenes_per_sec, 5),
+        "unit": "scenes/sec",
+        "vs_baseline": round(vs_baseline, 3) if np.isfinite(vs_baseline) else None,
+        "extra": {
+            "denoise_steps_per_sec": round(steps_per_sec, 3),
+            "sample_flops": flops,
+            "device": str(jax.devices()[0]),
+            "iters": iters,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

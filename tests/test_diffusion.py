@@ -70,9 +70,9 @@ def test_ddim_cfg_combination():
     calls = {}
 
     def denoise(x, t, c):
-        calls["batch"] = x.shape[0]
+        calls["batch"] = max(calls.get("batch", 0), x.shape[0])
         # conditional half predicts c, unconditional predicts 0
-        return c[:, None, None, None] * jnp.ones_like(x)
+        return c.reshape(c.shape[0], 1, 1, 1, 1) * jnp.ones_like(x)
 
     B = 3
     x_T = jax.random.normal(jax.random.PRNGKey(0), (B, 2, 2, 2, 1))
