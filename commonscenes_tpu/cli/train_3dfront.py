@@ -1,0 +1,208 @@
+"""Training CLI — the reference ``scripts/train_3dfront.py`` flag surface on
+the TPU-native stack.
+
+Supports the four network types (v1_box, v2_box, v2_full — v1_full maps to
+the v2 layout trainer with shapes disabled plus a deprecation note), data
+from a real SG-FRONT root or the synthetic generator (``--dataset synthetic``),
+periodic orbax checkpoints, args.json snapshot for eval reproducibility
+(reference train_3dfront.py:260-263), and data-parallel execution over all
+local devices via the mesh utilities.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def bool_flag(s: str) -> bool:
+    if s.lower() in ("1", "true", "yes", "y"):
+        return True
+    if s.lower() in ("0", "false", "no", "n"):
+        return False
+    raise argparse.ArgumentTypeError(f"invalid bool {s!r}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    # reference flag surface (scripts/train_3dfront.py:27-80)
+    p.add_argument("--batchSize", type=int, default=8)
+    p.add_argument("--auxlr", type=float, default=1e-4)
+    p.add_argument("--nepoch", type=int, default=200)
+    p.add_argument("--outf", type=str, default="checkpoint")
+    p.add_argument("--dataset", type=str, default="synthetic",
+                   help="SG-FRONT root, or 'synthetic'")
+    p.add_argument("--logf", default="logs")
+    p.add_argument("--exp", default="./experiments/layout_test")
+    p.add_argument("--room_type", default="bedroom")
+    p.add_argument("--residual", type=bool_flag, default=False)
+    p.add_argument("--pooling", type=str, default="avg")
+    p.add_argument("--large", type=bool_flag, default=False)
+    p.add_argument("--use_scene_rels", type=bool_flag, default=True)
+    p.add_argument("--use_E2", type=bool_flag, default=True)
+    p.add_argument("--with_SDF", type=bool_flag, default=False)
+    p.add_argument("--with_CLIP", type=bool_flag, default=True)
+    p.add_argument("--shuffle_objs", type=bool_flag, default=True)
+    p.add_argument("--with_angles", type=bool_flag, default=True)
+    p.add_argument("--num_box_params", type=int, default=6)
+    p.add_argument("--weight_D_box", type=float, default=0.1)
+    p.add_argument("--with_changes", type=bool_flag, default=True)
+    p.add_argument("--loadmodel", type=bool_flag, default=False)
+    p.add_argument("--loadepoch", type=int, default=90)
+    p.add_argument("--replace_latent", type=bool_flag, default=True)
+    p.add_argument("--network_type", default="v2_full",
+                   choices=["v2_box", "v2_full", "v1_box", "v1_full"])
+    p.add_argument("--diff_yaml", default=None,
+                   help="reference-style v2_full.yaml (optional)")
+    # TPU-native extras
+    p.add_argument("--max_objs", type=int, default=16)
+    p.add_argument("--max_triples", type=int, default=128)
+    p.add_argument("--steps_per_epoch", type=int, default=0,
+                   help="cap steps/epoch (0 = full dataset)")
+    p.add_argument("--num_scenes", type=int, default=64,
+                   help="synthetic dataset size")
+    p.add_argument("--seed", type=int, default=111)
+    p.add_argument("--bf16", type=bool_flag, default=True)
+    return p
+
+
+def build_config(args):
+    from commonscenes_tpu.core.config import (BatchConfig, FullConfig,
+                                              LayoutConfig, TrainConfig,
+                                              load_full_config)
+    if args.diff_yaml:
+        cfg = load_full_config(args.diff_yaml)
+    else:
+        cfg = FullConfig()
+    use_clip = args.with_CLIP and args.network_type != "v1_box"
+    cfg = cfg.replace(
+        network_type=args.network_type,
+        layout=LayoutConfig(
+            gconv_pooling=args.pooling, residual=args.residual,
+            use_angles=args.with_angles, num_box_params=args.num_box_params,
+            use_clip=use_clip, use_e2=args.use_E2,
+            replace_latent=args.replace_latent,
+            with_changes=args.with_changes),
+        batch=BatchConfig(
+            batch_size=args.batchSize, max_objs=args.max_objs,
+            max_triples=args.max_triples,
+            diffusion_bs=cfg.batch.diffusion_bs,
+            sdf_res=cfg.batch.sdf_res),
+        train=TrainConfig(aux_lr=args.auxlr, nepoch=args.nepoch,
+                          weight_d_box=args.weight_D_box, seed=args.seed),
+    )
+    return cfg
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    from commonscenes_tpu.core.config import FullConfig
+    from commonscenes_tpu.data.collate import collate
+    from commonscenes_tpu.data.synthetic import SyntheticDataset
+    from commonscenes_tpu.data.vocab import Vocab
+    from commonscenes_tpu.models.commonscenes import CommonScenesV2Full
+    from commonscenes_tpu.parallel.mesh import (make_mesh, replicate_tree,
+                                                shard_batch)
+    from commonscenes_tpu.train.checkpoints import (restore_checkpoint,
+                                                    save_checkpoint)
+    from commonscenes_tpu.train.step_v2full import V2FullTrainer
+
+    cfg = build_config(args)
+    with_shapes = args.network_type == "v2_full"
+    use_clip = cfg.layout.use_clip
+
+    # data
+    if args.dataset == "synthetic":
+        vocab = Vocab.synthetic()
+        dataset = SyntheticDataset(
+            vocab, num_scenes=args.num_scenes,
+            sdf_res=cfg.batch.sdf_res if with_shapes else 0,
+            seed=args.seed, with_clip=use_clip)
+    else:
+        from commonscenes_tpu.data.clip_cache import ClipTextCache
+        from commonscenes_tpu.data.sgfront import SGFrontDataset
+        clip_cache = ClipTextCache(
+            cache_path=os.path.join(args.exp, "clip_cache.pkl"))
+        dataset = SGFrontDataset(
+            args.dataset, split="train", room_type=args.room_type,
+            large=args.large, use_sdf=with_shapes,
+            sdf_res=cfg.batch.sdf_res, use_scene_rels=args.use_scene_rels,
+            shuffle_objs=args.shuffle_objs, with_clip=use_clip,
+            clip_cache=clip_cache, seed=args.seed)
+        vocab = dataset.vocab
+
+    model = CommonScenesV2Full(cfg, vocab.num_obj_classes,
+                               vocab.num_pred_classes)
+    trainer = V2FullTrainer(cfg, model, with_shapes=with_shapes)
+
+    rng = np.random.RandomState(args.seed)
+    modes = ["relationship", "addition", "none"] if args.with_changes else ["none"]
+
+    def next_batch(epoch_rng):
+        idx = epoch_rng.randint(0, len(dataset), size=cfg.batch.batch_size)
+        scenes = [dataset[i] for i in idx]
+        return collate(scenes, vocab, cfg.batch, epoch_rng,
+                       use_clip=use_clip,
+                       manipulation_modes=tuple(
+                           modes[epoch_rng.randint(len(modes))]
+                           for _ in range(cfg.batch.batch_size)),
+                       with_shapes=with_shapes)
+
+    os.makedirs(os.path.join(args.exp, args.outf), exist_ok=True)
+    with open(os.path.join(args.exp, "args.json"), "w") as f:
+        json.dump(vars(args), f, indent=2)
+
+    mesh = make_mesh()
+    key = jax.random.PRNGKey(args.seed)
+    batch0 = next_batch(rng)
+    with mesh:
+        state = trainer.init_state(key, batch0)
+        state = replicate_tree(mesh, state)
+        start_epoch = 0
+        ckpt_dir = os.path.join(args.exp, args.outf)
+        if args.loadmodel:
+            state, start_epoch = restore_checkpoint(
+                os.path.join(ckpt_dir, f"model_{args.loadepoch}"), state)
+            print(f"[*] resumed from epoch {start_epoch}, "
+                  f"counter {int(state.step)}")
+
+        steps = args.steps_per_epoch or max(1, len(dataset) // cfg.batch.batch_size)
+        log_path = os.path.join(args.exp, args.logf)
+        os.makedirs(log_path, exist_ok=True)
+        loss_log = open(os.path.join(log_path, "loss_log.txt"), "a")
+
+        counter = int(state.step)
+        for epoch in range(start_epoch, args.nepoch):
+            t0 = time.time()
+            for i in range(steps):
+                batch = shard_batch(mesh, next_batch(rng))
+                key, sub = jax.random.split(key)
+                state, metrics = trainer.train_step(state, batch, sub)
+                counter += 1
+                if counter % 100 == 0:
+                    msg = f"epoch {epoch} step {counter}: " + " ".join(
+                        f"{k}={float(v):.4f}" for k, v in sorted(metrics.items()))
+                    print(msg)
+                    loss_log.write(msg + "\n")
+                    loss_log.flush()
+            dt = time.time() - t0
+            print(f"[*] epoch {epoch} done in {dt:.1f}s "
+                  f"({steps * cfg.batch.batch_size / dt:.2f} scenes/s)")
+            if epoch % 15 == 0 or epoch == args.nepoch - 1:
+                save_checkpoint(os.path.join(ckpt_dir, f"model_{epoch}"),
+                                jax.device_get(state), epoch=epoch)
+                print(f"[*] saved model_{epoch}")
+        loss_log.close()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+    main()

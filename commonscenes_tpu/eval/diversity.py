@@ -1,0 +1,59 @@
+"""Shape-diversity metric: chamfer distance between repeated resamples.
+
+Capability parity with reference scripts/eval_3dfront.py:584-719: for each
+object, sample the shape branch ``num_samples`` times, convert SDFs to
+normalized 5000-point clouds, and accumulate the chamfer distance between
+consecutive runs, reported per fine-grained class and overall. The CUDA
+chamfer extension is replaced by the Pallas/XLA kernel (ops.chamfer).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Callable, Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from commonscenes_tpu.ops.chamfer import chamfer_distance
+from commonscenes_tpu.ops.mesh import sdf_to_point_cloud
+
+
+def sdf_batch_to_point_clouds(sdfs: np.ndarray, n_points: int = 5000,
+                              level: float = 0.018,
+                              seed: int = 0) -> np.ndarray:
+    """[K, R, R, R(,1)] SDF grids → [K, n_points, 3] normalized clouds."""
+    rng = np.random.RandomState(seed)
+    out = []
+    for k in range(sdfs.shape[0]):
+        out.append(sdf_to_point_cloud(np.asarray(sdfs[k]), n_points, level,
+                                      rng))
+    return np.stack(out)
+
+
+def diversity_between_runs(run_sdfs: List[np.ndarray],
+                           obj_classes: Optional[np.ndarray] = None,
+                           n_points: int = 5000,
+                           use_pallas: bool = True) -> Dict[str, float]:
+    """Chamfer between consecutive resample runs (eval_3dfront.py:683-704).
+
+    run_sdfs: list of [K, R, R, R] arrays, one per resample run.
+    Returns overall mean + optional per-class means.
+    """
+    per_class: Dict[int, list] = defaultdict(list)
+    total: list = []
+    clouds = [sdf_batch_to_point_clouds(np.asarray(r), n_points, seed=i)
+              for i, r in enumerate(run_sdfs)]
+    for a, b in zip(clouds[:-1], clouds[1:]):
+        d = np.asarray(chamfer_distance(jnp.asarray(a), jnp.asarray(b),
+                                        use_pallas))
+        total.extend(d.tolist())
+        if obj_classes is not None:
+            for k, dist in enumerate(d):
+                per_class[int(obj_classes[k])].append(float(dist))
+
+    out = {"diversity_mean": float(np.mean(total)) if total else float("nan"),
+           "diversity_std": float(np.std(total)) if total else float("nan")}
+    for cls, vals in per_class.items():
+        out[f"diversity_cls_{cls}"] = float(np.mean(vals))
+    return out

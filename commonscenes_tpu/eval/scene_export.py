@@ -1,0 +1,156 @@
+"""Scene assembly + mesh export + top-down rendering (numpy, host-side).
+
+Capability parity with the reference visualization stack without its
+trimesh/pyrender dependencies:
+* ``fit_vertices_to_box`` — the vertex transform of
+  helpers/util.py:158-189 ``fit_shapes_to_box_v2`` (recentre to bottom
+  center, −90° pre-rotation, unit-scale, scale to (l,h,w), yaw rotation,
+  translate);
+* ``export_obj`` — scene mesh export (replacing the reference's .glb via
+  trimesh, visualize_scene.py:378-461);
+* ``render_topdown`` — 256×256 orthographic top-down rasterizer with a
+  z(y)-buffer and per-class colors, the geometry convention of
+  collect_gt_sdf_images.py:55-60 (camera above, y-up) — feeds the FID/KID
+  pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def yaw_rotation(y_deg: float, degrees: bool = True) -> np.ndarray:
+    """helpers/util.py:510-516 get_rotation_3dfront."""
+    y = np.deg2rad(y_deg) if degrees else y_deg
+    return np.array([[np.cos(y), 0, -np.sin(y)],
+                     [0, 1, 0],
+                     [np.sin(y), 0, np.cos(y)]])
+
+
+def fit_vertices_to_box(verts: np.ndarray, box: np.ndarray,
+                        angle_deg: float = 0.0) -> np.ndarray:
+    """Place unit-ish shape vertices into a (l,h,w,px,py,pz) box with a yaw
+    angle. Mirrors fit_shapes_to_box_v2 on raw vertex arrays."""
+    v = np.asarray(verts, np.float64).copy()
+    # recentre: bottom center to origin
+    lo, hi = v.min(0), v.max(0)
+    bottom_center = (lo + hi) / 2.0
+    bottom_center[1] = lo[1]
+    v = v - bottom_center
+    # −90° pre-rotation around y (reference aligns 3D-FUTURE forward axis)
+    v = v @ yaw_rotation(-90.0).T
+    # normalize extents → scale to box
+    extents = v.max(0) - v.min(0)
+    v = v / np.maximum(extents, 1e-9)
+    l, h, w = box[0], box[1], box[2]
+    v = v * np.array([l, h, w])
+    # yaw + translate (R_inv in the reference applies to vertices)
+    R = yaw_rotation(angle_deg)
+    v = v @ np.linalg.inv(R).T + np.asarray(box[3:6])
+    return v
+
+
+def angle_bin_to_degrees(bin_idx: int, num_bins: int = 24) -> float:
+    """Inverse of the dataset binning (np.digitize over [-180°, 180°],
+    threedfront_dataset.py:377-378): bin centers."""
+    edges = np.linspace(-180, 180, num_bins)
+    return float(edges[min(bin_idx, num_bins - 1)])
+
+
+def export_obj(path: str, meshes: Sequence[Tuple[np.ndarray, np.ndarray]],
+               names: Optional[Sequence[str]] = None) -> None:
+    """Write a multi-object OBJ file."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+        offset = 1
+        for k, (verts, faces) in enumerate(meshes):
+            name = names[k] if names else f"obj_{k}"
+            f.write(f"o {name}\n")
+            for v in verts:
+                f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+            for face in faces:
+                f.write(f"f {face[0]+offset} {face[1]+offset} {face[2]+offset}\n")
+            offset += len(verts)
+
+
+DEFAULT_PALETTE = np.array([
+    [0.9, 0.9, 0.9], [0.8, 0.2, 0.2], [0.2, 0.8, 0.2], [0.2, 0.2, 0.8],
+    [0.8, 0.8, 0.2], [0.8, 0.2, 0.8], [0.2, 0.8, 0.8], [0.5, 0.3, 0.1],
+    [0.9, 0.5, 0.1], [0.4, 0.6, 0.3], [0.6, 0.4, 0.7], [0.3, 0.3, 0.3],
+])
+
+
+def render_topdown(meshes: Sequence[Tuple[np.ndarray, np.ndarray]],
+                   classes: Sequence[int], resolution: int = 256,
+                   extent: float = 8.0) -> np.ndarray:
+    """Orthographic top-down render: world (x, z) → image plane, height (y)
+    as the depth buffer. Returns [res, res, 3] float image in [0, 1]."""
+    img = np.ones((resolution, resolution, 3), np.float64)
+    zbuf = np.full((resolution, resolution), -np.inf)
+
+    half = extent / 2.0
+    scale = resolution / extent
+
+    for mesh_i, (verts, faces) in enumerate(meshes):
+        if len(faces) == 0:
+            continue
+        color = DEFAULT_PALETTE[classes[mesh_i] % len(DEFAULT_PALETTE)]
+        tri = verts[faces]                          # [F, 3, 3]
+        # screen coords
+        sx = (tri[..., 0] + half) * scale
+        sy = (tri[..., 2] + half) * scale
+        height = tri[..., 1].mean(1)                # per-face height
+
+        for fi in range(len(tri)):
+            xs, ys = sx[fi], sy[fi]
+            x0, x1 = int(max(np.floor(xs.min()), 0)), int(min(np.ceil(xs.max()), resolution - 1))
+            y0, y1 = int(max(np.floor(ys.min()), 0)), int(min(np.ceil(ys.max()), resolution - 1))
+            if x1 < x0 or y1 < y0:
+                continue
+            # barycentric fill
+            gx, gy = np.meshgrid(np.arange(x0, x1 + 1), np.arange(y0, y1 + 1),
+                                 indexing="ij")
+            px, py = gx + 0.5, gy + 0.5
+            d = ((xs[1] - xs[0]) * (ys[2] - ys[0])
+                 - (xs[2] - xs[0]) * (ys[1] - ys[0]))
+            if abs(d) < 1e-12:
+                continue
+            w0 = ((px - xs[1]) * (ys[2] - ys[1]) - (py - ys[1]) * (xs[2] - xs[1])) / d
+            w1 = ((px - xs[2]) * (ys[0] - ys[2]) - (py - ys[2]) * (xs[0] - xs[2])) / d
+            w2 = 1.0 - w0 - w1
+            inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+            if not inside.any():
+                continue
+            hsel = height[fi]
+            ix, iy = gx[inside], gy[inside]
+            upd = hsel > zbuf[ix, iy]
+            ix, iy = ix[upd], iy[upd]
+            zbuf[ix, iy] = hsel
+            # simple height shading
+            shade = 0.6 + 0.4 * np.tanh(hsel / 2.0)
+            img[ix, iy] = color * shade
+    return img.astype(np.float32)
+
+
+def save_png(path: str, img: np.ndarray) -> None:
+    """Minimal PNG writer (no PIL dependency)."""
+    import struct
+    import zlib
+    arr = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    h, w = arr.shape[:2]
+    raw = b"".join(b"\x00" + arr[row].tobytes() for row in range(h))
+
+    def chunk(tag, data):
+        c = struct.pack(">I", len(data)) + tag + data
+        return c + struct.pack(">I", zlib.crc32(tag + data))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw, 6))
+           + chunk(b"IEND", b""))
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(png)

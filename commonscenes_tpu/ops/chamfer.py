@@ -50,56 +50,69 @@ def _pad_points(x: jax.Array, n_to: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _nn_kernel_wrap(x_ref, y_ref, out_ref):
-    """Actual kernel body used by pallas_call (block shapes carry a leading
-    1 batch dim)."""
+def _nn_kernel_body(x_ref, y_ref, out_ref):
+    """Tile layout: features on sublanes, points on lanes.
+
+    x_ref [8, TM], y_ref [8, TN], out_ref [8, TM] (row 0 carries the result;
+    the other sublanes are written for tile-shape compliance)."""
     import jax.experimental.pallas as pl
-    x = x_ref[0].astype(jnp.float32)
-    y = y_ref[0].astype(jnp.float32)
-    x2 = jnp.sum(x * x, axis=1, keepdims=True)
-    y2 = jnp.sum(y * y, axis=1, keepdims=True).T
-    xy = jnp.dot(x, y.T, preferred_element_type=jnp.float32)
+    x = x_ref[:].astype(jnp.float32)                     # [8, TM]
+    y = y_ref[:].astype(jnp.float32)                     # [8, TN]
+    x2 = jnp.sum(x * x, axis=0)[:, None]                 # [TM, 1]
+    y2 = jnp.sum(y * y, axis=0)[None, :]                 # [1, TN]
+    xy = jnp.dot(x.T, y, preferred_element_type=jnp.float32)  # MXU [TM, TN]
     d = x2 + y2 - 2.0 * xy
-    tile_min = jnp.min(d, axis=1)
+    tile_min = jnp.min(d, axis=1)                        # [TM]
+    tile_min8 = jnp.broadcast_to(tile_min[None, :], out_ref.shape)
     jtile = pl.program_id(2)
 
     @pl.when(jtile == 0)
     def _init():
-        out_ref[0, :] = tile_min
+        out_ref[:] = tile_min8
 
     @pl.when(jtile != 0)
     def _acc():
-        out_ref[0, :] = jnp.minimum(out_ref[0, :], tile_min)
+        out_ref[:] = jnp.minimum(out_ref[:], tile_min8)
 
 
-def nn_distance_pallas(x: jax.Array, y: jax.Array, tm: int = 256,
-                       tn: int = 256) -> jax.Array:
+def nn_distance_pallas(x: jax.Array, y: jax.Array, tm: int = 512,
+                       tn: int = 1024) -> jax.Array:
+    """min_j ‖x_i − y_j‖² per query point. x [B,N,3], y [B,M,3] → [B,N]."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, N, _ = x.shape
     M = y.shape[1]
     Np, Mp = _round_up(N, tm), _round_up(M, tn)
-    x4 = jnp.concatenate([_pad_points(x, Np),
-                          jnp.zeros((B, Np, 5), x.dtype)], axis=2)
-    y4 = jnp.concatenate([_pad_points(y, Mp),
-                          jnp.zeros((B, Mp, 5), y.dtype)], axis=2)
+    # features-on-sublanes layout: [8, B*Np]
+    xT = jnp.swapaxes(
+        jnp.concatenate([_pad_points(x, Np),
+                         jnp.zeros((B, Np, 5), x.dtype)], axis=2),
+        1, 2).reshape(B * 8, Np).reshape(B, 8, Np)
+    yT = jnp.swapaxes(
+        jnp.concatenate([_pad_points(y, Mp),
+                         jnp.zeros((B, Mp, 5), y.dtype)], axis=2),
+        1, 2).reshape(B, 8, Mp)
+    xT = jnp.concatenate([xT[b] for b in range(B)], axis=1) if B > 1 else xT[0]
+    yT = jnp.concatenate([yT[b] for b in range(B)], axis=1) if B > 1 else yT[0]
+    # xT [8, B*Np], yT [8, B*Mp]
 
-    grid = (B, Np // tm, Mp // tn)
+    nb_i, nb_j = Np // tm, Mp // tn
+    grid = (B, nb_i, nb_j)
     out = pl.pallas_call(
-        _nn_kernel_wrap,
+        _nn_kernel_body,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tm, 8), lambda b, i, j: (b, i, 0),
+            pl.BlockSpec((8, tm), lambda b, i, j, nb=nb_i: (0, b * nb + i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tn, 8), lambda b, i, j: (b, j, 0),
+            pl.BlockSpec((8, tn), lambda b, i, j, nb=nb_j: (0, b * nb + j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tm), lambda b, i, j: (b, i),
+        out_specs=pl.BlockSpec((8, tm), lambda b, i, j, nb=nb_i: (0, b * nb + i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Np), jnp.float32),
-    )(x4, y4)
-    return out[:, :N]
+        out_shape=jax.ShapeDtypeStruct((8, B * Np), jnp.float32),
+    )(xT, yT)
+    return out[0].reshape(B, Np)[:, :N]
 
 
 # ---------------------------------------------------------------------------

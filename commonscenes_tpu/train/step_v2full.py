@@ -188,7 +188,7 @@ class V2FullTrainer:
 
     # ------------------------------------------------------------------
 
-    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    @partial(jax.jit, static_argnums=0)
     def train_step(self, state: TrainState, batch: GraphBatch,
                    key: jax.Array) -> Tuple[TrainState, Dict[str, Any]]:
         cfg = self.cfg
