@@ -183,14 +183,20 @@ def select_sdfs(scenes: Sequence[RawScene], manips: Sequence[ManipulationResult]
     picks = picks[:cfg.diffusion_bs]
     S = cfg.diffusion_bs
     R = cfg.sdf_res
-    sdf = np.zeros((S, R, R, R, 1), np.float32)
     scene_idx = np.zeros(S, np.int32)
     slot_idx = np.zeros(S, np.int32)
     mask = np.zeros(S, np.float32)
     obj_class = np.zeros(S, np.int32)
+    # clamp+pad through the native host kernel (numpy fallback inside)
+    from commonscenes_tpu.data.native import clamp_pad_sdf
+    if picks:
+        src = np.stack([scenes[si].sdfs[oi] for si, oi in picks])
+    else:
+        src = np.zeros((0, R, R, R), np.float32)
+    sel = np.concatenate([np.arange(len(picks), dtype=np.int32),
+                          np.full(S - len(picks), -1, np.int32)])
+    sdf = clamp_pad_sdf(src, sel, S, cfg.trunc_thres)
     for i, (si, oi) in enumerate(picks):
-        grid = scenes[si].sdfs[oi]
-        sdf[i, ..., 0] = np.clip(grid, -cfg.trunc_thres, cfg.trunc_thres)
         scene_idx[i] = si
         slot_idx[i] = oi
         mask[i] = 1.0

@@ -1,0 +1,82 @@
+"""Style/material consistency metric.
+
+Capability parity with reference scripts/consistency_check.py:1-107: for
+object pairs connected by 'same style as' / 'same material as' /
+'same super category as' edges, measure (a) appearance-feature cosine
+similarity and (b) shape chamfer distance — consistent generations should
+score high/low respectively.
+
+The reference encodes rendered object crops with CLIP's image tower
+(downloads unavailable here); the feature hook is pluggable with the same
+fallback policy as eval/fid.py: top-down render patch features by default.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from commonscenes_tpu.eval.fid import random_patch_features
+from commonscenes_tpu.eval.scene_export import render_topdown
+from commonscenes_tpu.ops.chamfer import chamfer_distance
+from commonscenes_tpu.ops.mesh import sdf_to_point_cloud
+
+CONSISTENCY_PREDICATES = ("same style as", "same material as",
+                          "same super category as")
+
+
+def consistency_pairs(triples: np.ndarray, pred_idx_to_name: Sequence[str],
+                      triple_mask: Optional[np.ndarray] = None
+                      ) -> List[Tuple[int, int]]:
+    triples = np.asarray(triples).reshape(-1, 3)
+    if triple_mask is not None:
+        triples = triples[np.asarray(triple_mask).reshape(-1) > 0]
+    out = []
+    for s, p, o in triples:
+        if pred_idx_to_name[p] in CONSISTENCY_PREDICATES:
+            out.append((int(s), int(o)))
+    return out
+
+
+def object_appearance_features(sdfs: np.ndarray,
+                               extractor: Optional[Callable] = None
+                               ) -> np.ndarray:
+    """Render each object's SDF top-down and embed the crop."""
+    from commonscenes_tpu.ops.mesh import marching_tetrahedra
+    extract = extractor or random_patch_features
+    imgs = []
+    for k in range(sdfs.shape[0]):
+        verts, faces = marching_tetrahedra(np.asarray(sdfs[k]), level=0.02)
+        imgs.append(render_topdown([(verts, faces)], classes=[k],
+                                   resolution=64, extent=1.2))
+    imgs = np.stack(imgs)
+    # pad 64→256-compatible patching by tiling (extractor expects /16 dims)
+    return extract(imgs)
+
+
+def consistency_scores(sdfs: np.ndarray, triples: np.ndarray,
+                       pred_idx_to_name: Sequence[str],
+                       triple_mask: Optional[np.ndarray] = None,
+                       n_points: int = 2048,
+                       use_pallas: bool = True) -> Dict[str, float]:
+    """Mean appearance cosine + mean chamfer over consistency-linked pairs."""
+    pairs = consistency_pairs(triples, pred_idx_to_name, triple_mask)
+    if not pairs:
+        return {"consistency_pairs": 0}
+
+    feats = object_appearance_features(sdfs)
+    feats = feats / (np.linalg.norm(feats, axis=1, keepdims=True) + 1e-9)
+
+    clouds = np.stack([sdf_to_point_cloud(np.asarray(sdfs[k]), n_points,
+                                          rng=np.random.RandomState(k))
+                       for k in range(sdfs.shape[0])])
+    s_idx = np.asarray([p[0] for p in pairs])
+    o_idx = np.asarray([p[1] for p in pairs])
+    cos = float(np.mean(np.sum(feats[s_idx] * feats[o_idx], axis=1)))
+    cd = np.asarray(chamfer_distance(jnp.asarray(clouds[s_idx]),
+                                     jnp.asarray(clouds[o_idx]), use_pallas))
+    return {"consistency_pairs": len(pairs),
+            "consistency_feature_cos": cos,
+            "consistency_chamfer": float(cd.mean())}

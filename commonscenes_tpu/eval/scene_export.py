@@ -110,18 +110,19 @@ def render_topdown(meshes: Sequence[Tuple[np.ndarray, np.ndarray]],
             y0, y1 = int(max(np.floor(ys.min()), 0)), int(min(np.ceil(ys.max()), resolution - 1))
             if x1 < x0 or y1 < y0:
                 continue
-            # barycentric fill
+            # edge-function fill (sign-agnostic: accepts both windings)
             gx, gy = np.meshgrid(np.arange(x0, x1 + 1), np.arange(y0, y1 + 1),
                                  indexing="ij")
             px, py = gx + 0.5, gy + 0.5
-            d = ((xs[1] - xs[0]) * (ys[2] - ys[0])
-                 - (xs[2] - xs[0]) * (ys[1] - ys[0]))
-            if abs(d) < 1e-12:
-                continue
-            w0 = ((px - xs[1]) * (ys[2] - ys[1]) - (py - ys[1]) * (xs[2] - xs[1])) / d
-            w1 = ((px - xs[2]) * (ys[0] - ys[2]) - (py - ys[2]) * (xs[0] - xs[2])) / d
-            w2 = 1.0 - w0 - w1
-            inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+
+            def edge(ax, ay, bx, by):
+                return (px - ax) * (by - ay) - (py - ay) * (bx - ax)
+
+            e0 = edge(xs[0], ys[0], xs[1], ys[1])
+            e1 = edge(xs[1], ys[1], xs[2], ys[2])
+            e2 = edge(xs[2], ys[2], xs[0], ys[0])
+            inside = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | \
+                     ((e0 <= 0) & (e1 <= 0) & (e2 <= 0))
             if not inside.any():
                 continue
             hsel = height[fi]
