@@ -74,8 +74,11 @@ def make_noise_schedule(timesteps: int = 1000, beta_schedule: str = "linear",
         + v_posterior * betas
     )
     if parameterization == "eps":
-        lvlb_weights = betas ** 2 / (
-            2 * posterior_variance * alphas * (1 - alphas_cumprod))
+        # posterior_variance[0] == 0 → inf at index 0, overwritten below
+        # (reference sdfusion_txt2shape_model.py:234)
+        with np.errstate(divide="ignore"):
+            lvlb_weights = betas ** 2 / (
+                2 * posterior_variance * alphas * (1 - alphas_cumprod))
     elif parameterization == "x0":
         lvlb_weights = 0.5 * np.sqrt(alphas_cumprod) / (2.0 * 1 - alphas_cumprod)
     else:

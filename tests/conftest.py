@@ -6,7 +6,7 @@ Mirrors how the driver validates multi-chip sharding without real chips.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,7 +17,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# The parent environment may export JAX_PLATFORMS=axon (the tunneled TPU
+# plugin) and the plugin wins over the env var — force CPU in-process so the
+# suite runs hermetically on the virtual 8-device host mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
+
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on the virtual CPU mesh, got " + str(jax.devices()))
+assert jax.device_count() == 8
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
