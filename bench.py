@@ -34,6 +34,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: the heavy UNet/VQ-VAE programs compile
+    # once per container; subsequent bench runs start in seconds
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from commonscenes_tpu.core.config import FullConfig
     from commonscenes_tpu.data.collate import collate
     from commonscenes_tpu.data.synthetic import make_scene
@@ -52,11 +61,22 @@ def main():
                                vocab.num_pred_classes,
                                dtype=jnp.bfloat16)
 
+    ddim_steps = int(os.environ.get("BENCH_DDIM_STEPS", "0"))
+    if ddim_steps:
+        cfg = cfg.replace(diffusion=cfg.diffusion.__class__(
+            ddim_steps=ddim_steps))
+        model = CommonScenesV2Full(cfg, vocab.num_obj_classes,
+                                   vocab.num_pred_classes,
+                                   dtype=jnp.bfloat16)
+
     rng = np.random.RandomState(0)
     scenes = [make_scene(vocab, rng, num_objs=objs_per_scene, sdf_res=64)
               for _ in range(scenes_per_batch)]
     batch = collate(scenes, vocab, cfg.batch, rng, with_shapes=True)
-    variables = model.init(jax.random.PRNGKey(0), batch)
+    print("initializing params (jitted)...", file=sys.stderr, flush=True)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    jax.block_until_ready(variables)
+    print("init done", file=sys.stderr, flush=True)
 
     dz = cfg.layout.embedding_dim
     mean_est = jnp.zeros((dz,))
@@ -70,8 +90,10 @@ def main():
     jitted = jax.jit(sample_fn)
 
     # compile + FLOPs accounting
+    print("compiling sample fn...", file=sys.stderr, flush=True)
     lowered = jitted.lower(variables, batch.dec, jax.random.PRNGKey(1))
     compiled = lowered.compile()
+    print("compile done", file=sys.stderr, flush=True)
     try:
         flops = float(compiled.cost_analysis()["flops"])
     except Exception:

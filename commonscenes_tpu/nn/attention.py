@@ -24,6 +24,9 @@ def group_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
     xf = x.astype(jnp.float32)
     C = x.shape[-1]
     g = num_groups if C % num_groups == 0 else (C // 4 if C <= 32 else 30)
+    g = max(g, 1)
+    if C % g != 0:
+        g = 1
     spatial = xf.shape[1:-1]
     xg = xf.reshape(xf.shape[0], -1, g, C // g)
     mean = jnp.mean(xg, axis=(1, 3), keepdims=True)

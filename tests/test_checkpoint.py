@@ -1,0 +1,129 @@
+"""Orbax checkpoint roundtrip + torch reference-weight import tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from commonscenes_tpu.core.config import VQVAEConfig
+from commonscenes_tpu.nn.vqvae3d import VQVAE3D
+
+TINY_VQ = VQVAEConfig(embed_dim=2, n_embed=16, z_channels=2, resolution=8,
+                      ch=4, ch_mult=(1, 2), num_res_blocks=1)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from tests.test_train_step import make_batch, tiny_cfg, VOCAB
+    from commonscenes_tpu.models.commonscenes import CommonScenesV2Full
+    from commonscenes_tpu.train.checkpoints import (restore_checkpoint,
+                                                    save_checkpoint)
+    from commonscenes_tpu.train.step_v2full import V2FullTrainer
+
+    cfg = tiny_cfg()
+    model = CommonScenesV2Full(cfg, VOCAB.num_obj_classes,
+                               VOCAB.num_pred_classes)
+    trainer = V2FullTrainer(cfg, model, with_shapes=True)
+    batch = make_batch(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    state = state.replace(step=jnp.asarray(42, jnp.int32))
+
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, jax.device_get(state), epoch=7)
+
+    # perturb then restore
+    blank = state.replace(
+        step=jnp.zeros((), jnp.int32),
+        gen_params=jax.tree.map(jnp.zeros_like, state.gen_params))
+    restored, epoch = restore_checkpoint(path, blank)
+    assert epoch == 7
+    assert int(restored.step) == 42
+    orig = jax.tree.leaves(state.gen_params)
+    back = jax.tree.leaves(restored.gen_params)
+    for a, b in zip(orig, back):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def _torch_vqvae_state_dict():
+    """Build a torch state dict with the reference VQVAE module names
+    (model/networks/vqvae_networks/network.py) at the TINY_VQ geometry."""
+    torch = pytest.importorskip("torch")
+    tnn = torch.nn
+
+    def conv(cin, cout, k=3):
+        return tnn.Conv3d(cin, cout, k, padding=k // 2)
+
+    sd = {}
+
+    def add_conv(name, cin, cout, k=3):
+        m = conv(cin, cout, k)
+        sd[name + ".weight"] = m.weight.detach()
+        sd[name + ".bias"] = m.bias.detach()
+
+    def add_norm(name, c):
+        sd[name + ".weight"] = torch.randn(c)
+        sd[name + ".bias"] = torch.randn(c)
+
+    def add_res(name, cin, cout):
+        add_norm(name + ".norm1", cin)
+        add_conv(name + ".conv1", cin, cout)
+        add_norm(name + ".norm2", cout)
+        add_conv(name + ".conv2", cout, cout)
+        if cin != cout:
+            add_conv(name + ".nin_shortcut", cin, cout, 1)
+
+    def add_attn(name, c):
+        add_norm(name + ".norm", c)
+        for nm in ("q", "k", "v", "proj_out"):
+            add_conv(f"{name}.{nm}", c, c, 1)
+
+    ch, mult = 4, (1, 2)
+    # encoder
+    add_conv("encoder.conv_in", 1, ch)
+    add_res("encoder.down.0.block.0", ch, ch * mult[0])
+    add_conv("encoder.down.0.downsample.conv", ch * mult[0], ch * mult[0])
+    add_res("encoder.down.1.block.0", ch * mult[0], ch * mult[1])
+    add_res("encoder.mid.block_1", ch * mult[1], ch * mult[1])
+    add_attn("encoder.mid.attn_1", ch * mult[1])
+    add_res("encoder.mid.block_2", ch * mult[1], ch * mult[1])
+    add_norm("encoder.norm_out", ch * mult[1])
+    add_conv("encoder.conv_out", ch * mult[1], 2)
+    # decoder
+    add_conv("decoder.conv_in", 2, ch * mult[1])
+    add_res("decoder.mid.block_1", ch * mult[1], ch * mult[1])
+    add_attn("decoder.mid.attn_1", ch * mult[1])
+    add_res("decoder.mid.block_2", ch * mult[1], ch * mult[1])
+    add_res("decoder.up.1.block.0", ch * mult[1], ch * mult[1])
+    add_conv("decoder.up.1.upsample.conv", ch * mult[1], ch * mult[1])
+    add_res("decoder.up.0.block.0", ch * mult[1], ch * mult[0])
+    add_norm("decoder.norm_out", ch * mult[0])
+    add_conv("decoder.conv_out", ch * mult[0], 1)
+    add_conv("quant_conv", 2, 2, 1)
+    add_conv("post_quant_conv", 2, 2, 1)
+    sd["quantize.embedding.weight"] = torch.randn(16, 2)
+    return sd
+
+
+def test_torch_vqvae_import_shapes():
+    from commonscenes_tpu.train.checkpoints import import_reference_vqvae
+
+    model = VQVAE3D(TINY_VQ)
+    x = jnp.zeros((1, 8, 8, 8, 1))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    sd = _torch_vqvae_state_dict()
+    params = import_reference_vqvae(sd, variables["params"])
+
+    # kernel transpose correctness on one conv
+    w_torch = np.asarray(sd["encoder.conv_in.weight"])
+    w_jax = params["encoder"]["conv_in"]["kernel"]
+    assert w_jax.shape == (3, 3, 3, 1, 4)
+    np.testing.assert_allclose(w_jax[..., 0, 2],
+                               w_torch[2, 0].transpose(0, 1, 2), rtol=1e-6)
+    # embedding shift: stored = torch + 1/n so apply-time −1/n recovers it
+    np.testing.assert_allclose(
+        params["quantize"]["embedding"] - 1.0 / 16,
+        np.asarray(sd["quantize.embedding.weight"]), rtol=1e-6)
+
+    # imported tree still runs
+    rec, _ = model.apply({"params": params}, x)
+    assert rec.shape == x.shape
+    assert np.all(np.isfinite(np.asarray(rec)))
