@@ -89,15 +89,15 @@ def main():
 
     jitted = jax.jit(sample_fn)
 
-    # compile + FLOPs accounting
+    # compile + analytic FLOPs (the axon plugin's cost_analysis
+    # under-reports fused programs; see commonscenes_tpu/utils/flops.py)
     print("compiling sample fn...", file=sys.stderr, flush=True)
-    lowered = jitted.lower(variables, batch.dec, jax.random.PRNGKey(1))
-    compiled = lowered.compile()
+    jitted.lower(variables, batch.dec, jax.random.PRNGKey(1)).compile()
     print("compile done", file=sys.stderr, flush=True)
-    try:
-        flops = float(compiled.cost_analysis()["flops"])
-    except Exception:
-        flops = 0.0
+    from commonscenes_tpu.utils.flops import sample_flops
+    flops = sample_flops(cfg.unet, cfg.vqvae,
+                         num_objs=scenes_per_batch * cfg.batch.max_objs,
+                         ddim_steps=cfg.diffusion.ddim_steps)
 
     # warmup
     out = jitted(variables, batch.dec, jax.random.PRNGKey(1))

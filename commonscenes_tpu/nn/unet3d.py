@@ -29,6 +29,7 @@ from flax import linen as nn
 
 from commonscenes_tpu.core.config import UNetConfig
 from commonscenes_tpu.nn.attention import GroupNorm, SpatialTransformer3D
+from commonscenes_tpu.nn.conv3d import Conv3D
 
 
 def timestep_embedding(timesteps: jax.Array, dim: int,
@@ -45,10 +46,10 @@ def timestep_embedding(timesteps: jax.Array, dim: int,
 
 
 def conv3(features: int, name: str, zero_init: bool = False,
-          strides=(1, 1, 1), dtype=None) -> nn.Conv:
+          strides=(1, 1, 1), dtype=None) -> Conv3D:
     init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
-    return nn.Conv(features, kernel_size=(3, 3, 3), strides=strides,
-                   padding=1, kernel_init=init, dtype=dtype, name=name)
+    return Conv3D(features, kernel_size=(3, 3, 3), strides=strides,
+                  padding=1, kernel_init=init, dtype=dtype, name=name)
 
 
 class ResBlock3D(nn.Module):

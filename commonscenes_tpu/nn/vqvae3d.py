@@ -30,8 +30,9 @@ def swish(x):
 
 
 def conv3(features, name, strides=(1, 1, 1), padding=1, dtype=None):
-    return nn.Conv(features, kernel_size=(3, 3, 3), strides=strides,
-                   padding=padding, dtype=dtype, name=name)
+    from commonscenes_tpu.nn.conv3d import Conv3D
+    return Conv3D(features, kernel_size=(3, 3, 3), strides=strides,
+                  padding=padding, dtype=dtype, name=name)
 
 
 class VQResBlock(nn.Module):
@@ -90,9 +91,10 @@ class DownsampleAsym(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from commonscenes_tpu.nn.conv3d import Conv3D
         x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 1), (0, 0)))
-        return nn.Conv(self.channels, (3, 3, 3), strides=(2, 2, 2),
-                       padding="VALID", dtype=self.dtype, name="conv")(x)
+        return Conv3D(self.channels, (3, 3, 3), strides=(2, 2, 2),
+                      padding="VALID", dtype=self.dtype, name="conv")(x)
 
 
 class Upsample3D(nn.Module):

@@ -1,0 +1,124 @@
+"""Analytic FLOP accounting for the benchmark baseline.
+
+The axon PJRT plugin's ``cost_analysis`` under-reports fused-program FLOPs,
+so the bench computes workload FLOPs from the architecture directly: conv
+contractions, attention matmuls and dense layers of the UNet denoiser and
+the VQ-VAE decoder at their configured shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+from commonscenes_tpu.core.config import UNetConfig, VQVAEConfig
+
+
+def _conv_flops(vox: int, cin: int, cout: int, k: int = 27) -> float:
+    return 2.0 * vox * k * cin * cout
+
+
+def unet_forward_flops(cfg: UNetConfig, batch: int) -> float:
+    """One denoiser forward at [batch, S, S, S, in_channels] where S =
+    cfg.image_size; H/W halve per level, depth stays (reference
+    openai_model_3d.py:150-158)."""
+    S = cfg.image_size
+    mc = cfg.model_channels
+    total = 0.0
+
+    def res_block(vox, cin, cout):
+        f = _conv_flops(vox, cin, cout) + _conv_flops(vox, cout, cout)
+        if cin != cout:
+            f += _conv_flops(vox, cin, cout, k=1)
+        # time-emb projection is negligible
+        return f
+
+    def attn_block(vox, ch):
+        heads = cfg.num_heads
+        inner = ch
+        f = 2.0 * vox * ch * inner          # proj_in (1x1)
+        f += 3 * 2.0 * vox * inner * inner  # self qkv
+        f += 2 * 2.0 * vox * vox * inner    # self attn matmuls
+        f += 2.0 * vox * inner * inner      # self out
+        ctx = cfg.context_dim or inner
+        f += 2 * 2.0 * 1 * ctx * inner      # cross k/v (1 token)
+        f += 2.0 * vox * inner * inner      # cross q
+        f += 2 * 2.0 * vox * 1 * inner      # cross attn matmuls
+        f += 2.0 * vox * inner * inner      # cross out
+        f += 2 * 2.0 * vox * inner * 4 * inner * 1.5  # GEGLU FF
+        f += 2.0 * vox * inner * ch         # proj_out
+        return f
+
+    vox = S * S * S
+    ch = mc
+    total += _conv_flops(vox, cfg.in_channels, mc)
+    ds = 1
+    skips = [(vox, mc)]
+    # encoder
+    for level, mult in enumerate(cfg.channel_mult):
+        cout = mc * mult
+        for _ in range(cfg.num_res_blocks):
+            total += res_block(vox, ch, cout)
+            ch = cout
+            if ds in cfg.attention_resolutions:
+                total += attn_block(vox, ch)
+            skips.append((vox, ch))
+        if level != len(cfg.channel_mult) - 1:
+            total += _conv_flops(vox // 4, ch, ch)  # strided (1,2,2)
+            vox //= 4
+            ds *= 2
+            skips.append((vox, ch))
+    # middle
+    total += res_block(vox, ch, ch) * 2 + attn_block(vox, ch)
+    # decoder
+    for level, mult in reversed(list(enumerate(cfg.channel_mult))):
+        cout = mc * mult
+        for i in range(cfg.num_res_blocks + 1):
+            svox, sch = skips.pop()
+            total += res_block(vox, ch + sch, cout)
+            ch = cout
+            if ds in cfg.attention_resolutions:
+                total += attn_block(vox, ch)
+            if level and i == cfg.num_res_blocks:
+                vox *= 4
+                total += _conv_flops(vox, ch, ch)
+                ds //= 2
+    total += _conv_flops(vox, ch, cfg.out_channels)
+    return total * batch
+
+
+def vqvae_decode_flops(cfg: VQVAEConfig, batch: int) -> float:
+    ch = cfg.ch
+    z_sp = cfg.z_spatial
+    vox = z_sp ** 3
+    block_in = ch * cfg.ch_mult[-1]
+    total = _conv_flops(vox, cfg.embed_dim, cfg.z_channels, k=1)
+    total += _conv_flops(vox, cfg.z_channels, block_in)
+
+    def res(vox, cin, cout):
+        f = _conv_flops(vox, cin, cout) + _conv_flops(vox, cout, cout)
+        if cin != cout:
+            f += _conv_flops(vox, cin, cout, k=1)
+        return f
+
+    # mid: res, attn, res
+    total += 2 * res(vox, block_in, block_in)
+    total += 4 * 2.0 * vox * block_in * block_in + 2 * 2.0 * vox * vox * block_in
+    cin = block_in
+    for lvl in reversed(range(len(cfg.ch_mult))):
+        cout = ch * cfg.ch_mult[lvl]
+        for _ in range(cfg.num_res_blocks):
+            total += res(vox, cin, cout)
+            cin = cout
+        if lvl != 0:
+            vox *= 8
+            total += _conv_flops(vox, cin, cin)
+    total += _conv_flops(vox, cin, cfg.out_ch)
+    return total * batch
+
+
+def sample_flops(unet_cfg: UNetConfig, vq_cfg: VQVAEConfig, num_objs: int,
+                 ddim_steps: int, cfg_scale_batched: bool = True) -> float:
+    """FLOPs to generate shapes for one scene's objects with DDIM + CFG."""
+    b = num_objs * (2 if cfg_scale_batched else 1)
+    return (ddim_steps * unet_forward_flops(unet_cfg, b)
+            + vqvae_decode_flops(vq_cfg, num_objs))
