@@ -9,11 +9,14 @@ encoding + full-size SDFusion shape diffusion for its objects + VQ-VAE
 decode to 64³ SDF grids.
 
 Baseline: the reference publishes no numbers (BASELINE.json.published = {}),
-so vs_baseline is computed against an analytic A100 estimate documented
-below: the same sampling workload's measured XLA FLOPs divided by a
-generous fp32-torch A100 effective throughput (19.5 TFLOPS peak × 40% MFU),
-since the reference trains/samples in fp32 (openai_model_3d.py:736-750 fp16
-exists but is never invoked).
+so vs_baseline is computed against an analytic A100 estimate: the sampling
+workload's FLOPs (analytic count, utils/flops.py) divided by a *generous*
+A100 effective throughput of 25 TFLOPS — torch conv3d with TF32 tensor
+cores at high utilization (the reference runs fp32 modules,
+openai_model_3d.py:736-750's fp16 path is never invoked; TF32 is torch's
+default conv path on A100). Measured v5e-8 projection = single-chip
+throughput × 8 (data-parallel scene sharding; no cross-chip traffic in the
+sampling loop).
 """
 
 from __future__ import annotations
@@ -27,7 +30,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-A100_FP32_EFFECTIVE_FLOPS = 19.5e12 * 0.40  # fp32 torch, generous MFU
+A100_EFFECTIVE_FLOPS = 25.0e12   # torch TF32 conv3d, generous utilization
+TPU_V5E_PEAK_BF16 = 197e12
 
 
 def main():
@@ -114,20 +118,22 @@ def main():
     scenes_per_sec = scenes_done / dt
     steps_per_sec = iters * cfg.diffusion.ddim_steps / dt
 
-    if flops > 0:
-        baseline_scene_sec = A100_FP32_EFFECTIVE_FLOPS / flops * scenes_per_batch
-        vs_baseline = scenes_per_sec / baseline_scene_sec
-    else:
-        vs_baseline = float("nan")
+    baseline_scenes_per_sec = A100_EFFECTIVE_FLOPS / (flops / scenes_per_batch)
+    vs_baseline = scenes_per_sec / baseline_scenes_per_sec
+    achieved_flops = flops * iters / dt
 
     print(json.dumps({
         "metric": "scenes/sec/chip (v2_full DDIM-100 CFG, 8 objs/scene)",
         "value": round(scenes_per_sec, 5),
         "unit": "scenes/sec",
-        "vs_baseline": round(vs_baseline, 3) if np.isfinite(vs_baseline) else None,
+        "vs_baseline": round(vs_baseline, 3),
         "extra": {
             "denoise_steps_per_sec": round(steps_per_sec, 3),
-            "sample_flops": flops,
+            "sample_tflops_per_scene": round(flops / scenes_per_batch / 1e12, 1),
+            "achieved_tflops": round(achieved_flops / 1e12, 1),
+            "mfu_vs_v5e_peak": round(achieved_flops / TPU_V5E_PEAK_BF16, 3),
+            "v5e8_projection_scenes_per_sec": round(scenes_per_sec * 8, 4),
+            "baseline_model": "A100 TF32 conv3d @ 25 TFLOPS effective",
             "device": str(jax.devices()[0]),
             "iters": iters,
         },

@@ -103,10 +103,16 @@ class Vocab:
             map_path = os.path.join(root, "mapping.json")
             with open(map_path) as f:
                 mapping = json.load(f)
-            coarse = sorted(set(mapping[g] for g in grained))
+            coarse = set(mapping.get(g, g) for g in grained)
         else:
-            coarse = sorted(set(grained))
-        return cls(obj_classes=coarse,
-                   obj_classes_grained=sorted(set(grained)),
+            coarse = set(grained)
+        # the '_scene_' root class is always present (the reference's
+        # classes_{room}.txt files include it; threedfront_dataset.py:448-459
+        # appends root nodes with class id 0 = sorted-first '_scene_')
+        coarse.add("_scene_")
+        grained_set = set(grained)
+        grained_set.add("_scene_")
+        return cls(obj_classes=sorted(coarse),
+                   obj_classes_grained=sorted(grained_set),
                    predicates=predicates,
                    grained_to_coarse=mapping)

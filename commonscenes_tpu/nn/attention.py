@@ -73,13 +73,22 @@ class MultiHeadAttention(nn.Module):
         k = k.reshape(B, M, h, d)
         v = v.reshape(B, M, h, d)
 
-        scale = d ** -0.5
-        sim = jnp.einsum("bnhd,bmhd->bhnm", q, k,
-                         preferred_element_type=jnp.float32) * scale
-        attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1)
-        attn = attn.astype(v.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v,
-                         preferred_element_type=jnp.float32)
+        out = None
+        if context is None:
+            # fused VMEM-resident kernel for token self-attention
+            from commonscenes_tpu.ops import flash_attention as fa
+            if fa.on_tpu() and fa.self_attention_supported(N, d):
+                out = fa.flash_self_attention(q, k, v)
+
+        if out is None:
+            scale = d ** -0.5
+            sim = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                             preferred_element_type=jnp.float32) * scale
+            attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1)
+            attn = attn.astype(v.dtype)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v,
+                             preferred_element_type=jnp.float32)
+
         out = out.reshape(B, N, inner).astype(x.dtype)
         return nn.Dense(query_dim, dtype=self.dtype, name="to_out")(out)
 

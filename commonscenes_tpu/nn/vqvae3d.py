@@ -72,11 +72,19 @@ class VQAttnBlock(nn.Module):
         q = nn.Conv(C, (1, 1, 1), dtype=self.dtype, name="q")(h).reshape(B, -1, C)
         k = nn.Conv(C, (1, 1, 1), dtype=self.dtype, name="k")(h).reshape(B, -1, C)
         v = nn.Conv(C, (1, 1, 1), dtype=self.dtype, name="v")(h).reshape(B, -1, C)
-        sim = jnp.einsum("bnc,bmc->bnm", q, k,
-                         preferred_element_type=jnp.float32) * (C ** -0.5)
-        attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(v.dtype)
-        out = jnp.einsum("bnm,bmc->bnc", attn, v,
-                         preferred_element_type=jnp.float32)
+
+        from commonscenes_tpu.ops import flash_attention as fa
+        N = q.shape[1]
+        if fa.on_tpu() and fa.self_attention_supported(N, C):
+            out = fa.flash_self_attention(q[:, :, None, :], k[:, :, None, :],
+                                          v[:, :, None, :],
+                                          scale=C ** -0.5)[:, :, 0, :]
+        else:
+            sim = jnp.einsum("bnc,bmc->bnm", q, k,
+                             preferred_element_type=jnp.float32) * (C ** -0.5)
+            attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(v.dtype)
+            out = jnp.einsum("bnm,bmc->bnc", attn, v,
+                             preferred_element_type=jnp.float32)
         out = out.reshape(B, D, H, W, C).astype(x.dtype)
         out = nn.Conv(C, (1, 1, 1), dtype=self.dtype, name="proj_out")(out)
         return x + out
