@@ -73,13 +73,18 @@ class CommonScenesV2Full:
     # init
     # ------------------------------------------------------------------
 
-    def init(self, key: jax.Array, batch: GraphBatch) -> Dict[str, Any]:
+    def init(self, key: jax.Array, batch: GraphBatch,
+             with_shapes: bool = True) -> Dict[str, Any]:
         """Returns {'layout': vars, 'df': vars, 'vqvae': vars} flax variable
-        trees (each may contain 'params' and 'batch_stats')."""
+        trees (each may contain 'params' and 'batch_stats'). With
+        ``with_shapes=False`` (box-only variants) the diffusion/VQ-VAE trees
+        are empty."""
         k1, k2, k3, k4 = jax.random.split(key, 4)
         layout_vars = self.layout.init(
             {"params": k1}, batch.enc, batch.dec, batch.node_new,
             batch.node_changed, k4, train=False)
+        if not with_shapes:
+            return {"layout": layout_vars, "df": {}, "vqvae": {}}
 
         z_sp = self.cfg.vqvae.z_spatial
         zc = self.cfg.vqvae.embed_dim

@@ -38,13 +38,17 @@ def conv3d_2dsum(x: jax.Array, kernel: jax.Array,
         # depth slice for tap t: indices t, t+sd, ..., t+sd*(D_out-1)
         xk = jax.lax.slice_in_dim(xp, t, t + sd * (D_out - 1) + 1, sd, axis=1)
         xk = xk.reshape(B * D_out, H, W, Cin)
+        # NOTE: no preferred_element_type here — the MXU accumulates fp32
+        # internally regardless, and a widened output dtype breaks the conv
+        # transpose (VJP) with mixed operand dtypes. Cross-tap accumulation
+        # is explicit fp32.
         y = jax.lax.conv_general_dilated(
             xk, kernel[t], (sh, sw), [ph, pw],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=preferred_element_type)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y.astype(preferred_element_type)
         acc = y if acc is None else acc + y
     H_out, W_out, Cout = acc.shape[1], acc.shape[2], acc.shape[3]
-    return acc.reshape(B, D_out, H_out, W_out, Cout)
+    return acc.reshape(B, D_out, H_out, W_out, Cout).astype(x.dtype)
 
 
 class Conv3D(nn.Module):

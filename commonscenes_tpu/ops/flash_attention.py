@@ -37,16 +37,71 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     o_ref[0] = o.astype(o_ref.dtype)
 
 
-def _pick_q_tile(n_tokens: int, dp: int) -> int:
-    """Largest q tile whose fp32 score block + full k/v fit in ~12MB VMEM."""
+def _pick_q_tile(n_tokens: int, dp: int, extra_factor: int = 1) -> int:
+    """Largest q tile whose fp32 score block(s) + full k/v fit ~12MB VMEM."""
     kv_bytes = 2 * n_tokens * dp * 4
     budget = 12 * 1024 * 1024 - kv_bytes
     tq = n_tokens
-    while tq > 8 and (tq * n_tokens * 4 + 2 * tq * dp * 4) > budget:
+    while tq > 8 and (extra_factor * tq * n_tokens * 4
+                      + 4 * tq * dp * 4) > budget:
         tq //= 2
     return max(tq, 8)
 
 
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                     *, scale: float):
+    """Backward for one (batch·head, q-tile): recompute p = softmax(qkᵀ),
+    then dv += pᵀ·do, ds = p∘(dp − rowsum(dp∘p)), dq = ds·k,
+    dk += dsᵀ·q. dk/dv accumulate across the sequential q-tile grid axis."""
+    import jax.experimental.pallas as pl
+
+    q = q_ref[0].astype(jnp.float32)            # [Tq, Dp]
+    k = k_ref[0].astype(jnp.float32)            # [N, Dp]
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)          # [Tq, Dp]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=1, keepdims=True)   # [Tq, N]
+
+    dv_t = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)  # [N, Dp]
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)    # [Tq, N]
+    ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
+    dq_t = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+    dk_t = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32) * scale
+
+    dq_ref[0] = dq_t.astype(dq_ref.dtype)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        dk_ref[0] = dk_t.astype(dk_ref.dtype)
+        dv_ref[0] = dv_t.astype(dv_ref.dtype)
+
+    @pl.when(j != 0)
+    def _acc():
+        dk_ref[0] = dk_ref[0] + dk_t.astype(dk_ref.dtype)
+        dv_ref[0] = dv_ref[0] + dv_t.astype(dv_ref.dtype)
+
+
+def _prep(x, Dp):
+    B, N, H, D = x.shape
+    x = jnp.moveaxis(x, 2, 1).reshape(B * H, N, D)
+    if Dp != D:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, Dp - D)))
+    return x
+
+
+def _unprep(x, B, H, N, D):
+    return jnp.moveaxis(x[..., :D].reshape(B, H, N, D), 1, 2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def flash_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                          scale: float | None = None) -> jax.Array:
     """q, k, v: [B, N, H, D] → [B, N, H, D]. Requires N % 8 == 0.
@@ -54,7 +109,13 @@ def flash_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     Keys/values for a head stay resident in VMEM; queries are tiled when the
     fp32 score block would overflow VMEM (e.g. the VQ-VAE's 4096-token
     single-head bottleneck attention, vqvae_modules.py:126-178).
+    Differentiable: the backward pass is a second Pallas kernel that
+    recomputes the softmax tile-wise (flash-style, no N×N tensor in HBM).
     """
+    return _flash_fwd_impl(q, k, v, scale)
+
+
+def _flash_fwd_impl(q, k, v, scale):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -63,14 +124,7 @@ def flash_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     Dp = max(_round_up(D, 64), 64)
     Tq = _pick_q_tile(N, Dp)
 
-    def prep(x):
-        x = jnp.moveaxis(x, 2, 1).reshape(B * H, N, D)
-        if Dp != D:
-            x = jnp.pad(x, ((0, 0), (0, 0), (0, Dp - D)))
-        return x
-
-    qp, kp, vp = prep(q), prep(k), prep(v)
-
+    qp, kp, vp = _prep(q, Dp), _prep(k, Dp), _prep(v, Dp)
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale),
         grid=(B * H, N // Tq),
@@ -86,9 +140,57 @@ def flash_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B * H, N, Dp), q.dtype),
     )(qp, kp, vp)
+    return _unprep(out, B, H, N, D)
 
-    out = out[..., :D].reshape(B, H, N, D)
-    return jnp.moveaxis(out, 1, 2)
+
+def _flash_fwd(q, k, v, scale):
+    return _flash_fwd_impl(q, k, v, scale), (q, k, v)
+
+
+def _flash_bwd(scale, res, g):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    q, k, v = res
+    B, N, H, D = q.shape
+    sc = D ** -0.5 if scale is None else scale
+    Dp = max(_round_up(D, 64), 64)
+    Tq = _pick_q_tile(N, Dp, extra_factor=3)
+
+    qp, kp, vp, gp = _prep(q, Dp), _prep(k, Dp), _prep(v, Dp), _prep(g, Dp)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=sc),
+        grid=(B * H, N // Tq),
+        in_specs=[
+            pl.BlockSpec((1, Tq, Dp), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, Dp), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, Dp), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tq, Dp), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Tq, Dp), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, Dp), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, Dp), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, N, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, N, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, N, Dp), jnp.float32),
+        ],
+    )(qp, kp, vp, gp)
+    return (_unprep(dq, B, H, N, D).astype(q.dtype),
+            _unprep(dk, B, H, N, D).astype(k.dtype),
+            _unprep(dv, B, H, N, D).astype(v.dtype))
+
+
+flash_self_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
 def self_attention_supported(n_tokens: int, dim_head: int) -> bool:

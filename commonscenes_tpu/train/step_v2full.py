@@ -72,14 +72,20 @@ class V2FullTrainer:
 
     def init_state(self, key: jax.Array, batch: GraphBatch) -> TrainState:
         k_model, k_disc = jax.random.split(key)
-        variables = self.model.init(k_model, batch)
+        # jitted init: eager per-op dispatch is pathological over a tunneled
+        # TPU (~minutes for the VQ-VAE alone)
+        variables = jax.jit(self.model.init, static_argnums=2)(
+            k_model, batch, self.with_shapes)
+
+        def disc_init(key, dec, boxes_flat):
+            feats = self.boxD.features(dec, boxes_flat)
+            return self.boxD.init(key, feats)
 
         boxes_flat = batch.dec.boxes.reshape(-1, batch.dec.boxes.shape[-1])
-        feats = self.boxD.features(batch.dec, boxes_flat)
-        disc_vars = self.boxD.init(k_disc, feats)
+        disc_vars = jax.jit(disc_init)(k_disc, batch.dec, boxes_flat)
 
         gen_params = {"layout": variables["layout"]["params"],
-                      "df": variables["df"]["params"]}
+                      "df": variables["df"].get("params", {})}
         gen_stats = {"layout": variables["layout"].get("batch_stats", {})}
         disc_params = disc_vars["params"]
         disc_stats = disc_vars.get("batch_stats", {})
@@ -87,7 +93,7 @@ class V2FullTrainer:
             step=jnp.zeros((), jnp.int32),
             gen_params=gen_params,
             gen_stats=gen_stats,
-            vqvae_params=variables["vqvae"]["params"],
+            vqvae_params=variables["vqvae"].get("params", {}),
             disc_params=disc_params,
             disc_stats=disc_stats,
             gen_opt=self.gen_tx.init(gen_params),
@@ -102,8 +108,8 @@ class V2FullTrainer:
         variables = {
             "layout": {"params": gen_params["layout"],
                        "batch_stats": gen_stats["layout"]},
-            "df": {"params": gen_params["df"]},
-            "vqvae": {"params": vqvae_params},
+            "df": {"params": gen_params["df"]} if self.with_shapes else None,
+            "vqvae": {"params": vqvae_params} if self.with_shapes else None,
         }
         outputs, updates = self.model.train_forward(variables, batch, key,
                                                     train=True)
