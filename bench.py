@@ -118,6 +118,21 @@ def main():
     scenes_per_sec = scenes_done / dt
     steps_per_sec = iters * cfg.diffusion.ddim_steps / dt
 
+    # optional: training-step throughput (BENCH_TRAIN=1)
+    train_scenes_per_sec = None
+    if os.environ.get("BENCH_TRAIN"):
+        from commonscenes_tpu.train.step_v2full import V2FullTrainer
+        trainer = V2FullTrainer(cfg, model, with_shapes=True)
+        tb = jax.device_put(batch)
+        state = trainer.init_state(jax.random.PRNGKey(0), tb)
+        state, m = trainer.train_step(state, tb, jax.random.PRNGKey(1))
+        jax.block_until_ready(m["total"])
+        t0 = time.perf_counter()
+        for i in range(5):
+            state, m = trainer.train_step(state, tb, jax.random.PRNGKey(i))
+            jax.block_until_ready(m["total"])
+        train_scenes_per_sec = 5 * scenes_per_batch / (time.perf_counter() - t0)
+
     baseline_scenes_per_sec = A100_EFFECTIVE_FLOPS / (flops / scenes_per_batch)
     vs_baseline = scenes_per_sec / baseline_scenes_per_sec
     achieved_flops = flops * iters / dt
@@ -134,6 +149,8 @@ def main():
             "mfu_vs_v5e_peak": round(achieved_flops / TPU_V5E_PEAK_BF16, 3),
             "v5e8_projection_scenes_per_sec": round(scenes_per_sec * 8, 4),
             "baseline_model": "A100 TF32 conv3d @ 25 TFLOPS effective",
+            "train_scenes_per_sec": (round(train_scenes_per_sec, 2)
+                                     if train_scenes_per_sec else None),
             "device": str(jax.devices()[0]),
             "iters": iters,
         },
