@@ -81,10 +81,13 @@ def main(argv=None):
 
     if args.dataset == "synthetic":
         vocab = Vocab.synthetic()
+        objs_range = (4, max(4, cfg.batch.max_objs - 2))
         train_set = SyntheticDataset(vocab, num_scenes=32,
+                                     num_objs_range=objs_range,
                                      sdf_res=cfg.batch.sdf_res if with_shapes else 0,
                                      seed=0, with_clip=use_clip)
         test_set = SyntheticDataset(vocab, num_scenes=args.num_scenes,
+                                    num_objs_range=objs_range,
                                     sdf_res=cfg.batch.sdf_res if with_shapes else 0,
                                     seed=1, with_clip=use_clip)
     else:

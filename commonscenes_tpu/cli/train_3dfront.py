@@ -124,6 +124,7 @@ def main(argv=None):
         vocab = Vocab.synthetic()
         dataset = SyntheticDataset(
             vocab, num_scenes=args.num_scenes,
+            num_objs_range=(4, max(4, cfg.batch.max_objs - 2)),
             sdf_res=cfg.batch.sdf_res if with_shapes else 0,
             seed=args.seed, with_clip=use_clip)
     else:
