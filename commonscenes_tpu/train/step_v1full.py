@@ -68,9 +68,13 @@ class V1FullTrainer:
 
     def init_state(self, key, batch: GraphBatch, shapes_gt) -> V1TrainState:
         k1, k2, k3 = jax.random.split(key, 3)
-        variables = jax.jit(self.model.init)(
-            {"params": k1}, batch.enc, batch.dec, shapes_gt, batch.node_new,
-            batch.node_changed, jax.random.PRNGKey(0), train=False)
+
+        def model_init(k, enc, dec, sg, nn_, nc_):
+            return self.model.init({"params": k}, enc, dec, sg, nn_, nc_,
+                                   jax.random.PRNGKey(0), train=False)
+
+        variables = jax.jit(model_init)(k1, batch.enc, batch.dec, shapes_gt,
+                                        batch.node_new, batch.node_changed)
         aux_vars = jax.jit(self.shape_aux.init)(k2, shapes_gt)
         boxes_flat = batch.dec.boxes.reshape(-1, batch.dec.boxes.shape[-1])
 
