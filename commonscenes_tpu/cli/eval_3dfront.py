@@ -98,8 +98,9 @@ def main(argv=None):
                                   use_sdf=with_shapes, with_clip=use_clip)
         vocab = train_set.vocab
 
+    dtype = jnp.bfloat16 if getattr(train_args, "bf16", True) else None
     model = CommonScenesV2Full(cfg, vocab.num_obj_classes,
-                               vocab.num_pred_classes)
+                               vocab.num_pred_classes, dtype=dtype)
     trainer = V2FullTrainer(cfg, model, with_shapes=with_shapes)
 
     rng = np.random.RandomState(args.seed)
@@ -205,15 +206,47 @@ def main(argv=None):
             obj_classes_acc.append(np.asarray(b.dec.objs).reshape(-1)[mask])
 
         if args.export_dir:
+            os.makedirs(args.export_dir, exist_ok=True)
             export.append({"scan_id": scene.scan_id,
                            "objs": np.asarray(b.dec.objs).reshape(-1)[mask].tolist(),
                            "boxes": boxes_d[mask].tolist(),
                            "angles": np.asarray(out["angles"]).argmax(1)[mask].tolist()})
+            # scene-graph figure (reference helpers/visualize_graph.py)
+            from commonscenes_tpu.eval.graph_viz import export_dot
+            export_dot(os.path.join(args.export_dir, f"{scene.scan_id}.dot"),
+                       np.asarray(b.dec.objs[0]), np.asarray(b.dec.triples[0]),
+                       vocab.obj_classes, vocab.predicates,
+                       obj_mask=np.asarray(b.dec.obj_mask[0]),
+                       triple_mask=np.asarray(b.dec.triple_mask[0]),
+                       node_new=np.asarray(b.node_new[0]),
+                       node_changed=np.asarray(b.node_changed[0]),
+                       scene_class_id=vocab.scene_class_id)
             if out.get("sdf") is not None:
-                os.makedirs(args.export_dir, exist_ok=True)
                 np.savez_compressed(
                     os.path.join(args.export_dir, f"{scene.scan_id}_sdf.npz"),
                     sdf=np.asarray(out["sdf"])[mask])
+                # assembled scene mesh (reference render_v2_full glb export,
+                # visualize_scene.py:378-461) as OBJ
+                from commonscenes_tpu.eval.scene_export import (
+                    angle_bin_to_degrees, export_obj, fit_vertices_to_box)
+                from commonscenes_tpu.ops.mesh import marching_tetrahedra
+                sdfs_m = np.asarray(out["sdf"])[mask]
+                angs = np.asarray(out["angles"]).argmax(1)[mask]
+                meshes, names = [], []
+                for kk in range(sdfs_m.shape[0]):
+                    vv, ff = marching_tetrahedra(sdfs_m[kk], level=0.02)
+                    if len(ff) == 0:
+                        continue
+                    vv = fit_vertices_to_box(
+                        vv, boxes_d[mask][kk],
+                        angle_deg=angle_bin_to_degrees(int(angs[kk])))
+                    meshes.append((vv, ff))
+                    cls = int(np.asarray(b.dec.objs).reshape(-1)[mask][kk])
+                    names.append(f"{vocab.obj_classes[cls]}_{kk}")
+                if meshes:
+                    export_obj(os.path.join(args.export_dir,
+                                            f"{scene.scan_id}.obj"),
+                               meshes, names)
 
     dt = time.time() - t_start
     summary = accuracy_summary(accuracy) if accuracy else {}

@@ -140,8 +140,10 @@ def main(argv=None):
             clip_cache=clip_cache, seed=args.seed)
         vocab = dataset.vocab
 
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16 if args.bf16 else None
     model = CommonScenesV2Full(cfg, vocab.num_obj_classes,
-                               vocab.num_pred_classes)
+                               vocab.num_pred_classes, dtype=dtype)
     trainer = V2FullTrainer(cfg, model, with_shapes=with_shapes)
 
     rng = np.random.RandomState(args.seed)

@@ -1,0 +1,64 @@
+"""Tests for diversity and consistency metrics."""
+
+import numpy as np
+
+from commonscenes_tpu.data.synthetic import box_sdf, sphere_sdf
+from commonscenes_tpu.data.vocab import PREDICATES
+from commonscenes_tpu.eval.consistency import (consistency_pairs,
+                                               consistency_scores)
+from commonscenes_tpu.eval.diversity import (diversity_between_runs,
+                                             sdf_batch_to_point_clouds)
+
+
+def test_sdf_batch_to_point_clouds():
+    sdfs = np.stack([sphere_sdf(24, 0.6, trunc=1.0),
+                     box_sdf(24, (0.5, 0.5, 0.5), trunc=1.0)])
+    pcs = sdf_batch_to_point_clouds(sdfs, n_points=512, level=0.0)
+    assert pcs.shape == (2, 512, 3)
+    assert np.abs(pcs).max() <= 0.5 + 1e-5  # normalized
+
+
+def test_diversity_zero_for_identical_runs():
+    sdfs = np.stack([sphere_sdf(24, 0.6, trunc=1.0)])
+    res = diversity_between_runs([sdfs, sdfs.copy()], obj_classes=np.array([2]),
+                                 n_points=256, use_pallas=False)
+    # identical geometry but independent sampling seeds → small but nonzero
+    assert res["diversity_mean"] < 0.01
+    assert "diversity_cls_2" in res
+
+
+def test_diversity_detects_shape_change():
+    a = np.stack([sphere_sdf(24, 0.7, trunc=1.0)])
+    b = np.stack([box_sdf(24, (0.25, 0.9, 0.25), trunc=1.0)])
+    same = diversity_between_runs([a, a.copy()], n_points=256,
+                                  use_pallas=False)
+    diff = diversity_between_runs([a, b], n_points=256, use_pallas=False)
+    assert diff["diversity_mean"] > 5 * max(same["diversity_mean"], 1e-6)
+
+
+def test_consistency_pairs_selection():
+    tri = np.array([
+        [0, PREDICATES.index("same style as"), 1],
+        [1, PREDICATES.index("left"), 2],
+        [2, PREDICATES.index("same material as"), 0],
+    ])
+    pairs = consistency_pairs(tri, PREDICATES)
+    assert pairs == [(0, 1), (2, 0)]
+
+
+def test_consistency_scores_same_vs_different():
+    sphere = sphere_sdf(24, 0.6, trunc=1.0)
+    box = box_sdf(24, (0.3, 0.9, 0.3), trunc=1.0)
+    tri = np.array([[0, PREDICATES.index("same style as"), 1]])
+
+    same = consistency_scores(np.stack([sphere, sphere]), tri, PREDICATES,
+                              n_points=256, use_pallas=False)
+    diff = consistency_scores(np.stack([sphere, box]), tri, PREDICATES,
+                              n_points=256, use_pallas=False)
+    assert same["consistency_pairs"] == 1
+    assert same["consistency_chamfer"] < diff["consistency_chamfer"]
+    # the offline patch-feature proxy is weakly discriminative between
+    # silhouettes (the real metric plugs in CLIP's image tower); just check
+    # the score is a valid cosine and identical shapes max it out
+    assert -1.0 <= diff["consistency_feature_cos"] <= 1.0
+    assert same["consistency_feature_cos"] > 0.98
