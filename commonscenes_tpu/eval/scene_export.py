@@ -136,6 +136,62 @@ def render_topdown(meshes: Sequence[Tuple[np.ndarray, np.ndarray]],
     return img.astype(np.float32)
 
 
+def load_png(path: str) -> np.ndarray:
+    """Minimal PNG reader for the RGB8 non-interlaced files save_png writes
+    (supports filter types 0–4). Returns float [H, W, 3] in [0, 1]."""
+    import struct
+    import zlib
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos = 8
+    idat = b""
+    w = h = None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", chunk[:10])
+            assert depth == 8 and ctype == 2, "only RGB8 supported"
+        elif tag == b"IDAT":
+            idat += chunk
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride = w * 3
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    o = 0
+    for row in range(h):
+        ftype = raw[o]
+        line = np.frombuffer(raw[o + 1:o + 1 + stride], np.uint8).astype(np.int32)
+        o += 1 + stride
+        cur = np.zeros(stride, np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:   # up
+            cur = (line + prev) & 0xFF
+        else:              # sub / average / paeth need sequential scan
+            for i in range(stride):
+                a = cur[i - 3] if i >= 3 else 0
+                b = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:  # paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (line[i] + pred) & 0xFF
+        out[row] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, 3).astype(np.float32) / 255.0
+
+
 def save_png(path: str, img: np.ndarray) -> None:
     """Minimal PNG writer (no PIL dependency)."""
     import struct
