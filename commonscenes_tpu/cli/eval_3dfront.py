@@ -174,10 +174,20 @@ def main(argv=None):
                     with_shapes=False)
         key, sub = jax.random.split(key)
 
+        # pack shape generation to real furniture slots (skip pad + root)
+        objs_row = np.asarray(b.dec.objs).reshape(-1)
+        mask_row = np.asarray(b.dec.obj_mask).reshape(-1) > 0
+        slots = np.where(mask_row & (objs_row != vocab.scene_class_id))[0]
+        K = cfg.batch.max_objs  # static bucket
+        slots_padded = np.concatenate(
+            [slots, np.zeros(K - len(slots), np.int64)])[:K].astype(np.int32)
+        n_real = min(len(slots), K)
+
         if manip == "none":
             out = model.sample(variables, b.dec, jnp.asarray(mean_est),
                                jnp.asarray(cov_chol), sub,
-                               gen_shape=args.gen_shape and with_shapes)
+                               gen_shape=args.gen_shape and with_shapes,
+                               shape_slot_idx=jnp.asarray(slots_padded))
             keep = None
         else:
             # manipulation eval: encode GT, apply changes, decode
@@ -200,10 +210,10 @@ def main(argv=None):
             for s_idx in range(args.num_samples):
                 key, sub2 = jax.random.split(key)
                 o = model.sample(variables, b.dec, jnp.asarray(mean_est),
-                                 jnp.asarray(cov_chol), sub2, gen_shape=True)
-                sd = np.asarray(o["sdf"])[mask]
-                run_sdfs[s_idx].append(sd)
-            obj_classes_acc.append(np.asarray(b.dec.objs).reshape(-1)[mask])
+                                 jnp.asarray(cov_chol), sub2, gen_shape=True,
+                                 shape_slot_idx=jnp.asarray(slots_padded))
+                run_sdfs[s_idx].append(np.asarray(o["sdf"])[:n_real])
+            obj_classes_acc.append(objs_row[slots[:n_real]])
 
         if args.export_dir:
             os.makedirs(args.export_dir, exist_ok=True)
@@ -222,26 +232,27 @@ def main(argv=None):
                        node_changed=np.asarray(b.node_changed[0]),
                        scene_class_id=vocab.scene_class_id)
             if out.get("sdf") is not None:
+                sdfs_m = np.asarray(out["sdf"])[:n_real]
                 np.savez_compressed(
                     os.path.join(args.export_dir, f"{scene.scan_id}_sdf.npz"),
-                    sdf=np.asarray(out["sdf"])[mask])
+                    sdf=sdfs_m, slots=slots[:n_real])
                 # assembled scene mesh (reference render_v2_full glb export,
                 # visualize_scene.py:378-461) as OBJ
                 from commonscenes_tpu.eval.scene_export import (
                     angle_bin_to_degrees, export_obj, fit_vertices_to_box)
                 from commonscenes_tpu.ops.mesh import marching_tetrahedra
-                sdfs_m = np.asarray(out["sdf"])[mask]
-                angs = np.asarray(out["angles"]).argmax(1)[mask]
+                angs_all = np.asarray(out["angles"]).argmax(1)
                 meshes, names = [], []
                 for kk in range(sdfs_m.shape[0]):
+                    slot = int(slots[kk])
                     vv, ff = marching_tetrahedra(sdfs_m[kk], level=0.02)
                     if len(ff) == 0:
                         continue
                     vv = fit_vertices_to_box(
-                        vv, boxes_d[mask][kk],
-                        angle_deg=angle_bin_to_degrees(int(angs[kk])))
+                        vv, boxes_d[slot],
+                        angle_deg=angle_bin_to_degrees(int(angs_all[slot])))
                     meshes.append((vv, ff))
-                    cls = int(np.asarray(b.dec.objs).reshape(-1)[mask][kk])
+                    cls = int(objs_row[slot])
                     names.append(f"{vocab.obj_classes[cls]}_{kk}")
                 if meshes:
                     export_obj(os.path.join(args.export_dir,

@@ -176,7 +176,8 @@ class CommonScenesV2Full:
                mean_est: jax.Array, cov_chol: jax.Array, key: jax.Array,
                gen_shape: bool = True, shape_mask: Optional[jax.Array] = None,
                ddim_tables=None, uc_scale: Optional[float] = None,
-               shared_noise: bool = True):
+               shared_noise: bool = True,
+               shape_slot_idx: Optional[jax.Array] = None):
         """Generate boxes/angles (+ SDF grids) for a decoder-view batch.
 
         mean_est [Dz] / cov_chol [Dz, Dz] are the train-set latent statistics
@@ -184,6 +185,12 @@ class CommonScenesV2Full:
         reference's np.random.multivariate_normal draw (VAE.py:160-191).
         ``shared_noise`` repeats a single x_T across objects like the
         reference's rel2shape (sdfusion_txt2shape_model.py:487-491).
+
+        ``shape_slot_idx`` (i32 [K], flat indices into B·N, host-computed)
+        packs shape generation to the real furniture slots — DDIM then runs
+        at batch K instead of B·N, skipping padded/root slots (the reference
+        equivalently selects nonzero-SDF rows, VAEGAN_V2FULL.py:606-614).
+        The returned sdf is [K, R, R, R, 1] in slot order.
         """
         cfg = self.cfg
         uc_scale = cfg.diffusion.uc_scale if uc_scale is None else uc_scale
@@ -206,16 +213,20 @@ class CommonScenesV2Full:
 
         gen_sdf = None
         if gen_shape:
+            if shape_slot_idx is not None:
+                c_rel = jnp.take(c_rel, shape_slot_idx, axis=0)
+                uc_rel = jnp.take(uc_rel, shape_slot_idx, axis=0)
+            K = c_rel.shape[0]
             z_sp, zc = cfg.vqvae.z_spatial, cfg.vqvae.embed_dim
             if shared_noise:
                 single = jax.random.normal(k_noise, (1, z_sp, z_sp, z_sp, zc))
-                x_T = jnp.tile(single, (B * N, 1, 1, 1, 1))
+                x_T = jnp.tile(single, (K, 1, 1, 1, 1))
             else:
-                x_T = jax.random.normal(k_noise, (B * N, z_sp, z_sp, z_sp, zc))
+                x_T = jax.random.normal(k_noise, (K, z_sp, z_sp, z_sp, zc))
 
             if cfg.diffusion.conditioning_key == "concat":
-                c_in = c_rel.reshape(B * N, -1)
-                uc_in = uc_rel.reshape(B * N, -1)
+                c_in = c_rel.reshape(K, -1)
+                uc_in = uc_rel.reshape(K, -1)
             else:
                 c_in, uc_in = c_rel, uc_rel
 
