@@ -29,6 +29,29 @@ RULE_NAMES = ["left", "right", "front", "behind", "bigger", "smaller",
               "taller", "shorter", "standing on", "close by",
               "symmetrical to"]
 
+
+def angular_distance(a_deg: float, b_deg: float) -> float:
+    """Smallest angle between two headings in degrees
+    (reference helpers/metrics_3dfront.py angular helpers)."""
+    d = abs(a_deg - b_deg) % 360.0
+    return 360.0 - d if d > 180.0 else d
+
+
+def estimate_angular_mean(degs) -> float:
+    """Circular mean (metrics_3dfront.py:40-42)."""
+    rad = np.deg2rad(np.asarray(degs, np.float64))
+    m = float(np.rad2deg(np.arctan2(np.sin(rad).sum(),
+                                    np.cos(rad).sum())) % 360.0)
+    return 0.0 if m >= 360.0 - 1e-9 else m
+
+
+def estimate_angular_std(degs) -> float:
+    """Circular std around the circular mean (metrics_3dfront.py:44-48)."""
+    degs = np.asarray(degs, np.float64)
+    m = estimate_angular_mean(degs)
+    d = np.asarray([angular_distance(x, m) for x in degs])
+    return float(np.sqrt((d ** 2).mean()))
+
 # predicate-name → rule key (predicate list order from data.vocab.PREDICATES)
 PRED_TO_RULE = {
     "left": "left", "right": "right", "front": "front", "behind": "behind",
