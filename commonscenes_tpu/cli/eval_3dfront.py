@@ -232,7 +232,7 @@ def main(argv=None):
                        node_changed=np.asarray(b.node_changed[0]),
                        scene_class_id=vocab.scene_class_id)
             if out.get("sdf") is not None:
-                sdfs_m = np.asarray(out["sdf"])[:n_real]
+                sdfs_m = np.asarray(out["sdf"])[:n_real].astype(np.float32)
                 np.savez_compressed(
                     os.path.join(args.export_dir, f"{scene.scan_id}_sdf.npz"),
                     sdf=sdfs_m, slots=slots[:n_real])
