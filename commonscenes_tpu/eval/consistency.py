@@ -41,19 +41,30 @@ def consistency_pairs(triples: np.ndarray, pred_idx_to_name: Sequence[str],
 
 
 def object_appearance_features(sdfs: np.ndarray,
-                               extractor: Optional[Callable] = None
-                               ) -> np.ndarray:
-    """Render each object's SDF top-down and embed the crop."""
-    from commonscenes_tpu.ops.mesh import marching_tetrahedra
+                               extractor: Optional[Callable] = None,
+                               n_points: int = 4096) -> np.ndarray:
+    """Embed a top-down point-splat of each object's surface.
+
+    Point splatting (height as z-buffer) is O(points) regardless of mesh
+    complexity — raw generated SDFs can triangulate to millions of faces.
+    """
+    from commonscenes_tpu.ops.mesh import sdf_to_point_cloud
     extract = extractor or random_patch_features
     imgs = []
+    res = 64
     for k in range(sdfs.shape[0]):
-        verts, faces = marching_tetrahedra(np.asarray(sdfs[k]), level=0.02)
-        imgs.append(render_topdown([(verts, faces)], classes=[k],
-                                   resolution=64, extent=1.2))
-    imgs = np.stack(imgs)
-    # pad 64→256-compatible patching by tiling (extractor expects /16 dims)
-    return extract(imgs)
+        pts = sdf_to_point_cloud(np.asarray(sdfs[k]), n_points, level=0.02,
+                                 rng=np.random.RandomState(k),
+                                 normalize=False)
+        img = np.ones((res, res, 3), np.float32)
+        if len(pts):
+            xi = np.clip(((pts[:, 0] + 0.6) / 1.2 * res).astype(int), 0, res - 1)
+            zi = np.clip(((pts[:, 2] + 0.6) / 1.2 * res).astype(int), 0, res - 1)
+            shade = 0.2 + 0.6 * np.clip((pts[:, 1] + 0.5), 0, 1)
+            order = np.argsort(pts[:, 1])          # highest last wins
+            img[xi[order], zi[order]] = shade[order, None]
+        imgs.append(img)
+    return extract(np.stack(imgs))
 
 
 def consistency_scores(sdfs: np.ndarray, triples: np.ndarray,

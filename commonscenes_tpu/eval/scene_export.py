@@ -85,9 +85,11 @@ DEFAULT_PALETTE = np.array([
 
 def render_topdown(meshes: Sequence[Tuple[np.ndarray, np.ndarray]],
                    classes: Sequence[int], resolution: int = 256,
-                   extent: float = 8.0) -> np.ndarray:
+                   extent: float = 8.0, max_faces: int = 60000) -> np.ndarray:
     """Orthographic top-down render: world (x, z) → image plane, height (y)
-    as the depth buffer. Returns [res, res, 3] float image in [0, 1]."""
+    as the depth buffer. Returns [res, res, 3] float image in [0, 1].
+    Meshes above ``max_faces`` are area-weighted subsampled (raw generated
+    SDFs can triangulate into millions of sliver faces)."""
     img = np.ones((resolution, resolution, 3), np.float64)
     zbuf = np.full((resolution, resolution), -np.inf)
 
@@ -98,6 +100,15 @@ def render_topdown(meshes: Sequence[Tuple[np.ndarray, np.ndarray]],
         if len(faces) == 0:
             continue
         color = DEFAULT_PALETTE[classes[mesh_i] % len(DEFAULT_PALETTE)]
+        if len(faces) > max_faces:
+            tri_all = verts[faces]
+            a = tri_all[:, 1] - tri_all[:, 0]
+            b = tri_all[:, 2] - tri_all[:, 0]
+            areas = 0.5 * np.linalg.norm(np.cross(a, b), axis=1) + 1e-12
+            pick = np.random.RandomState(0).choice(
+                len(faces), size=max_faces, replace=False,
+                p=areas / areas.sum())
+            faces = faces[pick]
         tri = verts[faces]                          # [F, 3, 3]
         # screen coords
         sx = (tri[..., 0] + half) * scale

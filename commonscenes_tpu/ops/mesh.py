@@ -33,12 +33,14 @@ _CORNERS = np.array([
 ], np.int64)
 
 
-def marching_tetrahedra(sdf: np.ndarray, level: float = 0.02
-                        ) -> Tuple[np.ndarray, np.ndarray]:
+def marching_tetrahedra(sdf: np.ndarray, level: float = 0.02,
+                        weld: bool = True) -> Tuple[np.ndarray, np.ndarray]:
     """Extract the iso-surface of a dense SDF grid.
 
     sdf: [R, R, R] (or [R,R,R,1]) float grid. Returns (verts [V,3] in
-    [-0.5, 0.5]³ like the reference, faces [F,3] int64).
+    [-0.5, 0.5]³ like the reference, faces [F,3] int64). ``weld=False``
+    returns an unwelded triangle soup (verts = 3·F rows) — much faster on
+    large/noisy surfaces, sufficient for point sampling.
     """
     sdf = np.asarray(sdf, np.float64).squeeze()
     R = sdf.shape[0]
@@ -107,12 +109,18 @@ def marching_tetrahedra(sdf: np.ndarray, level: float = 0.02
     if not tris:
         return np.zeros((0, 3)), np.zeros((0, 3), np.int64)
     tri = np.concatenate(tris, 0)                              # [F, 3, 3]
-
-    # weld vertices
     verts_flat = tri.reshape(-1, 3)
-    keys = np.round(verts_flat * 1e6).astype(np.int64)
-    _, uniq_idx, inv = np.unique(keys, axis=0, return_index=True,
-                                 return_inverse=True)
+
+    if not weld:
+        verts = verts_flat / (R - 1) - 0.5
+        faces = np.arange(len(verts_flat), dtype=np.int64).reshape(-1, 3)
+        return verts, faces
+
+    # weld vertices: pack the (quantized) coordinates into one int64 key —
+    # 1-D np.unique is far cheaper than row-wise unique
+    q = np.round(verts_flat * 1e4).astype(np.int64)            # ≤20 bits each
+    keys = (q[:, 0] << 42) | (q[:, 1] << 21) | q[:, 2]
+    _, uniq_idx, inv = np.unique(keys, return_index=True, return_inverse=True)
     verts = verts_flat[uniq_idx]
     faces = inv.reshape(-1, 3)
     # drop degenerate faces
@@ -150,9 +158,10 @@ def sdf_to_point_cloud(sdf: np.ndarray, n_points: int = 5000,
                        rng: np.random.RandomState | None = None,
                        normalize: bool = True) -> np.ndarray:
     """SDF grid → n surface points (the metric-side equivalent of
-    sdf_to_mesh + trimesh.sample in eval_3dfront.py:652-668)."""
+    sdf_to_mesh + trimesh.sample in eval_3dfront.py:652-668). Uses the
+    weld-free triangle soup — sampling doesn't need shared vertices."""
     rng = rng or np.random.RandomState(0)
-    verts, faces = marching_tetrahedra(sdf, level)
+    verts, faces = marching_tetrahedra(sdf, level, weld=False)
     pts = sample_surface_points(verts, faces, n_points, rng)
     if normalize and len(pts):
         center = (pts.max(0) + pts.min(0)) / 2
