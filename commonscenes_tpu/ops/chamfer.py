@@ -61,7 +61,7 @@ def _nn_kernel_body(x_ref, y_ref, out_ref):
     x2 = jnp.sum(x * x, axis=0)[:, None]                 # [TM, 1]
     y2 = jnp.sum(y * y, axis=0)[None, :]                 # [1, TN]
     xy = jnp.dot(x.T, y, preferred_element_type=jnp.float32)  # MXU [TM, TN]
-    d = x2 + y2 - 2.0 * xy
+    d = jnp.maximum(x2 + y2 - 2.0 * xy, 0.0)
     tile_min = jnp.min(d, axis=1)                        # [TM]
     tile_min8 = jnp.broadcast_to(tile_min[None, :], out_ref.shape)
     jtile = pl.program_id(2)
@@ -124,7 +124,7 @@ def _pairwise_sq(x: jax.Array, y: jax.Array) -> jax.Array:
     x2 = jnp.sum(x * x, axis=-1)[..., :, None]
     y2 = jnp.sum(y * y, axis=-1)[..., None, :]
     xy = jnp.einsum("bnd,bmd->bnm", x, y, preferred_element_type=jnp.float32)
-    return x2 + y2 - 2.0 * xy
+    return jnp.maximum(x2 + y2 - 2.0 * xy, 0.0)
 
 
 def nn_distance_xla(x: jax.Array, y: jax.Array) -> jax.Array:
