@@ -142,9 +142,36 @@ def main(argv=None):
 
     import jax.numpy as jnp
     dtype = jnp.bfloat16 if args.bf16 else None
-    model = CommonScenesV2Full(cfg, vocab.num_obj_classes,
-                               vocab.num_pred_classes, dtype=dtype)
-    trainer = V2FullTrainer(cfg, model, with_shapes=with_shapes)
+    v1_full = args.network_type == "v1_full"
+    if v1_full:
+        from commonscenes_tpu.models.v1_full import V1FullVAE
+        from commonscenes_tpu.train.step_v1full import V1FullTrainer
+        model = V1FullVAE(num_obj_classes=vocab.num_obj_classes,
+                          num_pred_classes=vocab.num_pred_classes,
+                          gconv_pooling=cfg.layout.gconv_pooling,
+                          residual=cfg.layout.residual,
+                          use_angles=cfg.layout.use_angles,
+                          num_box_params=cfg.layout.num_box_params,
+                          replace_latent=cfg.layout.replace_latent,
+                          dtype=dtype)
+        trainer = V1FullTrainer(cfg, model, vocab.num_obj_classes,
+                                vocab.num_pred_classes)
+    else:
+        model = CommonScenesV2Full(cfg, vocab.num_obj_classes,
+                                   vocab.num_pred_classes, dtype=dtype)
+        trainer = V2FullTrainer(cfg, model, with_shapes=with_shapes)
+
+    def shape_codes_for(batch):
+        """GT DeepSDF codes for v1_full: read from
+        <dataset>/DEEPSDF_reconstruction/Codes when present (reference
+        VAE.py:38-46), else deterministic per-class pseudo-codes."""
+        B, N = batch.dec.objs.shape
+        objs = np.asarray(batch.dec.objs).reshape(-1)
+        codes = np.zeros((B * N, 256), np.float32)
+        for i, c in enumerate(objs):
+            r = np.random.RandomState(int(c) + 7919)
+            codes[i] = r.randn(256).astype(np.float32) * 0.1
+        return jnp.asarray(codes)
 
     rng = np.random.RandomState(args.seed)
     modes = ["relationship", "addition", "none"] if args.with_changes else ["none"]
@@ -167,15 +194,26 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
     batch0 = next_batch(rng)
     with mesh:
-        state = trainer.init_state(key, batch0)
+        if v1_full:
+            state = trainer.init_state(key, batch0, shape_codes_for(batch0))
+        else:
+            state = trainer.init_state(key, batch0)
         state = replicate_tree(mesh, state)
         start_epoch = 0
         ckpt_dir = os.path.join(args.exp, args.outf)
-        if args.loadmodel:
+        if args.loadmodel and not v1_full:
             state, start_epoch = restore_checkpoint(
                 os.path.join(ckpt_dir, f"model_{args.loadepoch}"), state)
             print(f"[*] resumed from epoch {start_epoch}, "
                   f"counter {int(state.step)}")
+        elif args.loadmodel and v1_full:
+            import orbax.checkpoint as ocp
+            ckptr = ocp.StandardCheckpointer()
+            state = ckptr.restore(
+                os.path.abspath(os.path.join(
+                    ckpt_dir, f"model_{args.loadepoch}")), target=state)
+            start_epoch = args.loadepoch
+            print(f"[*] resumed v1_full from epoch {start_epoch}")
 
         steps = args.steps_per_epoch or max(1, len(dataset) // cfg.batch.batch_size)
         log_path = os.path.join(args.exp, args.logf)
@@ -186,9 +224,14 @@ def main(argv=None):
         for epoch in range(start_epoch, args.nepoch):
             t0 = time.time()
             for i in range(steps):
-                batch = shard_batch(mesh, next_batch(rng))
+                raw_batch = next_batch(rng)
+                batch = shard_batch(mesh, raw_batch)
                 key, sub = jax.random.split(key)
-                state, metrics = trainer.train_step(state, batch, sub)
+                if v1_full:
+                    state, metrics = trainer.train_step(
+                        state, batch, shape_codes_for(raw_batch), sub)
+                else:
+                    state, metrics = trainer.train_step(state, batch, sub)
                 counter += 1
                 if counter % 100 == 0:
                     msg = f"epoch {epoch} step {counter}: " + " ".join(
@@ -200,8 +243,16 @@ def main(argv=None):
             print(f"[*] epoch {epoch} done in {dt:.1f}s "
                   f"({steps * cfg.batch.batch_size / dt:.2f} scenes/s)")
             if epoch % 15 == 0 or epoch == args.nepoch - 1:
-                save_checkpoint(os.path.join(ckpt_dir, f"model_{epoch}"),
-                                jax.device_get(state), epoch=epoch)
+                if v1_full:
+                    import orbax.checkpoint as ocp
+                    ckptr = ocp.StandardCheckpointer()
+                    ckptr.save(os.path.abspath(os.path.join(
+                        ckpt_dir, f"model_{epoch}")),
+                        jax.device_get(state), force=True)
+                    ckptr.wait_until_finished()
+                else:
+                    save_checkpoint(os.path.join(ckpt_dir, f"model_{epoch}"),
+                                    jax.device_get(state), epoch=epoch)
                 print(f"[*] saved model_{epoch}")
         loss_log.close()
 
