@@ -18,34 +18,51 @@ from flax import linen as nn
 
 
 def group_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
-               num_groups: int = 32, eps: float = 1e-6) -> jax.Array:
-    """Channel-last GroupNorm computed in float32."""
-    orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
+               num_groups: int = 32, eps: float = 1e-6,
+               silu: bool = False) -> jax.Array:
+    """Channel-last GroupNorm (+ optional fused SiLU), fp32 math.
+
+    On TPU this dispatches to the fused Pallas kernel (ops/groupnorm.py —
+    two HBM touches instead of XLA's multi-pass fp32 lowering, worth ~30%
+    of the UNet step); elsewhere it runs the jnp reference path.
+    """
     C = x.shape[-1]
     g = num_groups if C % num_groups == 0 else (C // 4 if C <= 32 else 30)
     g = max(g, 1)
     if C % g != 0:
         g = 1
+
+    from commonscenes_tpu.ops import groupnorm as gnk
+    if x.ndim >= 3 and gnk.on_tpu() and gnk.fused_supported(x.shape, g):
+        return gnk.fused_group_norm(x, scale.astype(jnp.float32),
+                                    bias.astype(jnp.float32), g, eps, silu)
+
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
     spatial = xf.shape[1:-1]
     xg = xf.reshape(xf.shape[0], -1, g, C // g)
     mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
     var = jnp.var(xg, axis=(1, 3), keepdims=True)
     xg = (xg - mean) * jax.lax.rsqrt(var + eps)
     xf = xg.reshape(xf.shape[0], *spatial, C)
-    return (xf * scale + bias).astype(orig_dtype)
+    y = xf * scale + bias
+    if silu:
+        y = jax.nn.silu(y)
+    return y.astype(orig_dtype)
 
 
 class GroupNorm(nn.Module):
     num_groups: int = 32
     eps: float = 1e-6
+    silu: bool = False   # fuse the following SiLU/swish into the norm
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         C = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (C,))
         bias = self.param("bias", nn.initializers.zeros, (C,))
-        return group_norm(x, scale, bias, self.num_groups, self.eps)
+        return group_norm(x, scale, bias, self.num_groups, self.eps,
+                          silu=self.silu)
 
 
 class MultiHeadAttention(nn.Module):

@@ -45,11 +45,9 @@ class VQResBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         in_ch = x.shape[-1]
-        h = GroupNorm(name="norm1")(x)
-        h = swish(h)
+        h = GroupNorm(silu=True, name="norm1")(x)   # swish ≡ SiLU, fused
         h = conv3(self.out_channels, "conv1", dtype=self.dtype)(h)
-        h = GroupNorm(name="norm2")(h)
-        h = swish(h)
+        h = GroupNorm(silu=True, name="norm2")(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = conv3(self.out_channels, "conv2", dtype=self.dtype)(h)

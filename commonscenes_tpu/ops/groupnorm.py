@@ -1,0 +1,192 @@
+"""Fused GroupNorm(+SiLU) — Pallas TPU kernels.
+
+Measured on v5e: XLA's lowering of the UNet's fp32 GroupNorm chains costs
+~36 ms of a 115 ms denoiser step (31%) — multiple fp32 HBM round trips for
+the mean/var reductions, the normalize, and the SiLU. This pair of kernels
+touches the activation exactly twice (one bf16 read for statistics, one
+read+write for the apply), with all math in fp32 on-chip:
+
+  kernel 1 (stats): grid (B, S/Ts) accumulates per-(batch, group) sum and
+  sum-of-squares over the sequential tile axis;
+  kernel 2 (apply): normalizes each tile with the finished statistics,
+  folds in scale/bias and optionally SiLU.
+
+Backward is a custom VJP that recomputes through the reference jnp
+implementation (the backward was already XLA-lowered before; sampling —
+the headline workload — is forward-only).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _pick_tile(S: int) -> int:
+    ts = min(S, 1024)
+    while S % ts:
+        ts //= 2
+    return max(ts, 8)
+
+
+def _stats_kernel(x_ref, ghot_ref, out_ref):
+    """Per-(batch, group) Σx and Σx² via a [C, G] one-hot projection —
+    avoids lane-splitting reshapes Mosaic can't lower."""
+    import jax.experimental.pallas as pl
+    x = x_ref[0].astype(jnp.float32)                      # [Ts, C]
+    ghot = ghot_ref[:].astype(jnp.float32)                # [C, G]
+    s_c = jnp.sum(x, axis=0, keepdims=True)               # [1, C]
+    s2_c = jnp.sum(x * x, axis=0, keepdims=True)
+    s = jnp.dot(s_c, ghot, preferred_element_type=jnp.float32)    # [1, G]
+    s2 = jnp.dot(s2_c, ghot, preferred_element_type=jnp.float32)
+    tile = jnp.concatenate([s, s2], axis=0)               # [2, G]
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[0] = tile
+
+    @pl.when(j != 0)
+    def _acc():
+        out_ref[0] = out_ref[0] + tile
+
+
+def _apply_kernel(x_ref, stats_ref, ghot_ref, scale_ref, bias_ref, o_ref, *,
+                  total: float, eps: float, with_silu: bool):
+    x = x_ref[0].astype(jnp.float32)                      # [Ts, C]
+    ghot = ghot_ref[:].astype(jnp.float32)                # [C, G]
+    stats = stats_ref[0].astype(jnp.float32)              # [2, G]
+    mean = stats[0:1] / total                             # [1, G]
+    var = stats[1:2] / total - mean * mean
+    rstd = jax.lax.rsqrt(var + eps)                       # [1, G]
+
+    mean_c = jnp.dot(mean, ghot.T,
+                     preferred_element_type=jnp.float32)  # [1, C]
+    rstd_c = jnp.dot(rstd, ghot.T,
+                     preferred_element_type=jnp.float32)
+    y = (x - mean_c) * rstd_c
+    y = y * scale_ref[:].astype(jnp.float32) \
+        + bias_ref[:].astype(jnp.float32)
+    if with_silu:
+        y = y * jax.nn.sigmoid(y)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _fused_impl(x: jax.Array, scale: jax.Array, bias: jax.Array,
+                groups: int, eps: float, with_silu: bool) -> jax.Array:
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    orig_shape = x.shape
+    C = x.shape[-1]
+    B = x.shape[0]
+    S = 1
+    for d in orig_shape[1:-1]:
+        S *= d
+    xr = x.reshape(B, S, C)
+    Ts = _pick_tile(S)
+
+    cg = C // groups
+    ghot = jnp.repeat(jnp.eye(groups, dtype=jnp.float32), cg, axis=0)  # [C, G]
+
+    stats = pl.pallas_call(
+        _stats_kernel,
+        grid=(B, S // Ts),
+        in_specs=[
+            pl.BlockSpec((1, Ts, C), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, groups), lambda b, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, groups), lambda b, j: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 2, groups), jnp.float32),
+    )(xr, ghot)
+
+    total = float(S * cg)
+    out = pl.pallas_call(
+        functools.partial(_apply_kernel, total=total, eps=eps,
+                          with_silu=with_silu),
+        grid=(B, S // Ts),
+        in_specs=[
+            pl.BlockSpec((1, Ts, C), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, groups), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, groups), lambda b, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Ts, C), lambda b, j: (b, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S, C), x.dtype),
+    )(xr, stats, ghot, scale.reshape(1, C), bias.reshape(1, C))
+    return out.reshape(orig_shape)
+
+
+def _reference_impl(x, scale, bias, groups, eps, with_silu):
+    xf = x.astype(jnp.float32)
+    C = x.shape[-1]
+    spatial = xf.shape[1:-1]
+    xg = xf.reshape(xf.shape[0], -1, groups, C // groups)
+    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+    var = jnp.var(xg, axis=(1, 3), keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    y = xg.reshape(xf.shape[0], *spatial, C) * scale + bias
+    if with_silu:
+        y = jax.nn.silu(y)
+    return y.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_group_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
+                     groups: int = 32, eps: float = 1e-6,
+                     with_silu: bool = False) -> jax.Array:
+    """GroupNorm (+ optional SiLU) over the channel-last axis.
+
+    x [B, ..., C]; C % groups == 0 and C % 128-friendliness handled by the
+    caller predicate `fused_supported`.
+    """
+    return _fused_impl(x, scale, bias, groups, eps, with_silu)
+
+
+def _fgn_fwd(x, scale, bias, groups, eps, with_silu):
+    return _fused_impl(x, scale, bias, groups, eps, with_silu), (x, scale, bias)
+
+
+def _fgn_bwd(groups, eps, with_silu, res, g):
+    x, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda xx, ss, bb: _reference_impl(xx, ss, bb, groups, eps, with_silu),
+        x, scale, bias)
+    return vjp(g)
+
+
+fused_group_norm.defvjp(_fgn_fwd, _fgn_bwd)
+
+
+def fused_supported(x_shape, groups: int) -> bool:
+    C = x_shape[-1]
+    if C % groups:
+        return False
+    S = 1
+    for d in x_shape[1:-1]:
+        S *= d
+    ts = _pick_tile(S)
+    if S % ts:
+        return False
+    # VMEM: fp32 working tile + bf16 in/out tiles
+    return ts * C * 4 * 2 < 12 * 1024 * 1024 and S >= 8 and C >= 128
+
+
+def on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
