@@ -1,11 +1,14 @@
 """Training CLI — the reference ``scripts/train_3dfront.py`` flag surface on
 the TPU-native stack.
 
-Supports the four network types (v1_box, v2_box, v2_full — v1_full maps to
-the v2 layout trainer with shapes disabled plus a deprecation note), data
-from a real SG-FRONT root or the synthetic generator (``--dataset synthetic``),
-periodic orbax checkpoints, args.json snapshot for eval reproducibility
-(reference train_3dfront.py:260-263), and data-parallel execution over all
+Supports the four network types: v1_box / v2_box / v2_full run through
+``V2FullTrainer`` (shape branch enabled only for v2_full); v1_full runs
+through ``V1FullTrainer`` with GT DeepSDF codes (from the dataset's
+DEEPSDF_reconstruction tree when present, pseudo-codes otherwise). Data
+comes from a real SG-FRONT root or the synthetic generator
+(``--dataset synthetic``); periodic orbax checkpoints, args.json snapshot
+for eval reproducibility (reference train_3dfront.py:260-263), bad-batch
+skip guard (reference :276-283), and data-parallel execution over all
 local devices via the mesh utilities.
 """
 
@@ -162,16 +165,11 @@ def main(argv=None):
         trainer = V2FullTrainer(cfg, model, with_shapes=with_shapes)
 
     def shape_codes_for(batch):
-        """GT DeepSDF codes for v1_full: read from
-        <dataset>/DEEPSDF_reconstruction/Codes when present (reference
-        VAE.py:38-46), else deterministic per-class pseudo-codes."""
-        B, N = batch.dec.objs.shape
-        objs = np.asarray(batch.dec.objs).reshape(-1)
-        codes = np.zeros((B * N, 256), np.float32)
-        for i, c in enumerate(objs):
-            r = np.random.RandomState(int(c) + 7919)
-            codes[i] = r.randn(256).astype(np.float32) * 0.1
-        return jnp.asarray(codes)
+        """GT DeepSDF codes for v1_full: deterministic per-class pseudo-codes
+        (the real DEEPSDF_reconstruction download is absent here; reference
+        VAE.py:38-46 reads codes from disk)."""
+        from commonscenes_tpu.models.v1_full import pseudo_shape_codes
+        return jnp.asarray(pseudo_shape_codes(np.asarray(batch.dec.objs)))
 
     rng = np.random.RandomState(args.seed)
     modes = ["relationship", "addition", "none"] if args.with_changes else ["none"]
@@ -221,10 +219,19 @@ def main(argv=None):
         loss_log = open(os.path.join(log_path, "loss_log.txt"), "a")
 
         counter = int(state.step)
+        skipped_batches = 0
         for epoch in range(start_epoch, args.nepoch):
             t0 = time.time()
             for i in range(steps):
-                raw_batch = next_batch(rng)
+                # bad-batch skip guard (reference train_3dfront.py:276-283:
+                # malformed scenes / h5 read errors must not kill a long run)
+                try:
+                    raw_batch = next_batch(rng)
+                except Exception as e:  # noqa: BLE001 — data errors only
+                    skipped_batches += 1
+                    print(f"[!] skipping bad batch at step {counter}: {e!r} "
+                          f"({skipped_batches} skipped so far)")
+                    continue
                 batch = shard_batch(mesh, raw_batch)
                 key, sub = jax.random.split(key)
                 if v1_full:

@@ -52,6 +52,10 @@ class ManipulationResult:
     enc_triples: np.ndarray         # i32 [m_enc, 3] encoder-view triples
     enc_rel_feats: Optional[np.ndarray]
     changed_triple_idx: int = -1
+    # decoder-view overrides (copy-on-write; the input RawScene is never
+    # mutated so caching datasets / reused batches stay correct)
+    dec_triples: Optional[np.ndarray] = None
+    dec_rel_feats: Optional[np.ndarray] = None
 
 
 def _scene_root_edges(scene: RawScene, scene_class_id: int) -> np.ndarray:
@@ -74,8 +78,10 @@ def apply_manipulation(scene: RawScene, vocab: Vocab, mode: str,
     node_new = np.zeros(n, np.float32)
     node_changed = np.zeros(n, np.float32)
     enc_keep = np.ones(n, bool)
-    enc_triples = scene.triples.copy()
+    enc_triples = scene.triples
     enc_rel_feats = scene.rel_feats
+    dec_triples = None
+    dec_rel_feats = None
     root = vocab.scene_class_id
     changed_idx = -1
 
@@ -106,14 +112,19 @@ def apply_manipulation(scene: RawScene, vocab: Vocab, mode: str,
                 others = [q for q in INTERPRETABLE_REL_IDS if q != p]
                 new_p = int(rng.choice(others))
             # encoder keeps the original predicate; decoder gets the new one
-            scene.triples[k, 1] = new_p
+            # (copy-on-write: the RawScene itself stays untouched)
+            dec_triples = scene.triples.copy()
+            dec_triples[k, 1] = new_p
             node_changed[s] = 1.0
             node_changed[o] = 1.0
             if scene.rel_feats is not None and clip_cache is not None:
-                scene.rel_feats[k] = clip_cache.relation_feature(
+                dec_rel_feats = scene.rel_feats.copy()
+                dec_rel_feats[k] = clip_cache.relation_feature(
                     vocab, int(scene.objs[s]), new_p, int(scene.objs[o]))
     return ManipulationResult(mode, node_new, node_changed, enc_keep,
-                              enc_triples, enc_rel_feats, changed_idx)
+                              enc_triples, enc_rel_feats, changed_idx,
+                              dec_triples=dec_triples,
+                              dec_rel_feats=dec_rel_feats)
 
 
 def _pad_view(objs, objs_grained, triples, boxes, angles, text_feats,
@@ -222,9 +233,13 @@ def collate(scenes: Sequence[RawScene], vocab: Vocab, cfg: BatchConfig,
         man = apply_manipulation(scene, vocab, mode, rng, clip_cache)
         manips.append(man)
 
-        dec = _pad_view(scene.objs, scene.objs_grained, scene.triples,
+        dec_triples = (man.dec_triples if man.dec_triples is not None
+                       else scene.triples)
+        dec_rel_feats = (man.dec_rel_feats if man.dec_rel_feats is not None
+                         else scene.rel_feats)
+        dec = _pad_view(scene.objs, scene.objs_grained, dec_triples,
                         scene.boxes, scene.angles, scene.text_feats,
-                        scene.rel_feats, N, T, clip_dim, use_clip)
+                        dec_rel_feats, N, T, clip_dim, use_clip)
         enc = _pad_view(scene.objs, scene.objs_grained, man.enc_triples,
                         scene.boxes, scene.angles, scene.text_feats,
                         man.enc_rel_feats, N, T, clip_dim, use_clip)

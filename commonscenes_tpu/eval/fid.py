@@ -91,8 +91,13 @@ def random_patch_features(images: np.ndarray, dim: int = 512,
     return flat @ proj
 
 
-def get_feature_extractor() -> Callable[[np.ndarray], np.ndarray]:
-    """Prefer a real Inception backbone when available offline."""
+def get_feature_extractor() -> tuple:
+    """Prefer a real Inception backbone when available offline.
+
+    Returns ``(extract_fn, name)`` so callers can label which extractor
+    produced the numbers (inception numbers are paper-comparable, the
+    patch-proxy ones are only comparable to each other).
+    """
     try:
         from cleanfid.features import build_feature_extractor  # type: ignore
         model = build_feature_extractor("clean", device="cpu")
@@ -103,16 +108,21 @@ def get_feature_extractor() -> Callable[[np.ndarray], np.ndarray]:
                 (np.asarray(images) * 255).astype(np.uint8).transpose(0, 3, 1, 2))
             return model(x.float()).cpu().numpy()
 
-        return extract
+        return extract, "cleanfid-inception"
     except Exception:
-        return random_patch_features
+        return random_patch_features, "patch-proxy"
 
 
 def compute_fid_kid(real_images: np.ndarray, fake_images: np.ndarray,
                     extractor: Optional[Callable] = None) -> Dict[str, float]:
-    """[N, 256, 256, 3] float images in [0,1] → {'fid': …, 'kid': …}."""
-    extract = extractor or get_feature_extractor()
+    """[N, 256, 256, 3] float images in [0,1] → {'fid': …, 'kid': …,
+    'feature_extractor': …}."""
+    if extractor is not None:
+        extract, name = extractor, getattr(extractor, "__name__", "custom")
+    else:
+        extract, name = get_feature_extractor()
     f_real = extract(real_images)
     f_fake = extract(fake_images)
     return {"fid": fid_from_features(f_real, f_fake),
-            "kid": kid_from_features(f_real, f_fake)}
+            "kid": kid_from_features(f_real, f_fake),
+            "feature_extractor": name}

@@ -166,18 +166,17 @@ class V2FullTrainer:
         x_fake = self.boxD.features(batch.dec, jax.lax.stop_gradient(boxes_pred_in))
         x_real = self.boxD.features(batch.dec, dec_boxes)
 
-        def apply_and_updates(x, train):
-            if train:
-                out, ups = self.boxD.apply(dvars, x, train=True,
-                                           mutable=["batch_stats"])
-                return out, ups
-            return self.boxD.apply(dvars, x), None
+        def logits_sum_train(x):
+            # train-mode BN like the torch reference's D step; one forward
+            # yields the loss logits AND the BN-stat refresh
+            logits, ups = self.boxD.apply(dvars, x, train=True,
+                                          mutable=["batch_stats"])
+            return jnp.sum(logits), (logits, ups)
 
-        def logits_sum(x):
-            return jnp.sum(self.boxD.apply(dvars, x)), self.boxD.apply(dvars, x)
-
-        (_, logits_fake), gx_fake = jax.value_and_grad(logits_sum, has_aux=True)(x_fake)
-        (_, logits_real), gx_real = jax.value_and_grad(logits_sum, has_aux=True)(x_real)
+        (_, (logits_fake, _)), gx_fake = jax.value_and_grad(
+            logits_sum_train, has_aux=True)(x_fake)
+        (_, (logits_real, ups)), gx_real = jax.value_and_grad(
+            logits_sum_train, has_aux=True)(x_real)
 
         d_fake = _weighted_bce(logits_fake, 0.0, w_fake)
         d_real = _weighted_bce(logits_real, 1.0, w_real)
@@ -187,8 +186,6 @@ class V2FullTrainer:
             jnp.maximum(jnp.sum(w_fake) + jnp.sum(w_real), 1.0)
 
         loss = d_fake + d_real + (cfg.train.gan_gamma / 2.0) * reg
-        # refresh BN running stats with a real-side pass
-        _, ups = apply_and_updates(x_real, True)
         return loss, (ups, {"boxD": loss, "boxD_real": d_real,
                             "boxD_fake": d_fake, "boxD_reg": reg})
 

@@ -30,6 +30,24 @@ assert jax.device_count() == 8
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Fast tier (`pytest -m fast`, <2 min on the 1-core host): whole modules whose
+# compile footprint is small. Compile-heavy modules (train steps, UNet/VQVAE
+# forwards, checkpoints, torch parity) stay out; individual cheap tests there
+# can opt in with @pytest.mark.fast.
+FAST_MODULES = {
+    "test_schedule", "test_collate", "test_constraints", "test_gcn",
+    "test_chamfer", "test_conv3d", "test_diffusion", "test_groupnorm",
+    "test_io_misc", "test_eval_extras", "test_export_fid", "test_mesh_ops",
+    "test_sgfront_reader", "test_flash_attention",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in FAST_MODULES:
+            item.add_marker(pytest.mark.fast)
+
 
 @pytest.fixture
 def rng():
