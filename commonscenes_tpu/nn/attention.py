@@ -27,10 +27,13 @@ def group_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
     of the UNet step); elsewhere it runs the jnp reference path.
     """
     C = x.shape[-1]
-    g = num_groups if C % num_groups == 0 else (C // 4 if C <= 32 else 30)
-    g = max(g, 1)
-    if C % g != 0:
-        g = 1
+    # The reference always uses 32 groups (GroupNorm32, ldm_diffusion_util.py
+    # :222-239) and errors on non-divisible widths. For non-reference widths
+    # fall back deterministically to the largest divisor of C ≤ num_groups.
+    if C % num_groups == 0:
+        g = num_groups
+    else:
+        g = next(d for d in range(min(num_groups, C), 0, -1) if C % d == 0)
 
     from commonscenes_tpu.ops import groupnorm as gnk
     if x.ndim >= 3 and gnk.on_tpu() and gnk.fused_supported(x.shape, g):
@@ -118,7 +121,9 @@ class GEGLU(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
         a, gate = jnp.split(h, 2, axis=-1)
-        return a * nn.gelu(gate)
+        # exact (erf) GELU to match torch F.gelu (reference GEGLU,
+        # attention.py:39-46); jax defaults to the tanh approximation
+        return a * jax.nn.gelu(gate, approximate=False)
 
 
 class FeedForward(nn.Module):
@@ -145,12 +150,12 @@ class BasicTransformerBlock(nn.Module):
     def __call__(self, x: jax.Array, context: Optional[jax.Array] = None) -> jax.Array:
         x = x + MultiHeadAttention(self.heads, self.dim_head, dtype=self.dtype,
                                    name="attn1")(nn.LayerNorm(dtype=self.dtype,
-                                                              name="norm1")(x))
+                                                              epsilon=1e-5, name="norm1")(x))
         x = x + MultiHeadAttention(self.heads, self.dim_head, dtype=self.dtype,
                                    name="attn2")(
-            nn.LayerNorm(dtype=self.dtype, name="norm2")(x), context=context)
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x), context=context)
         x = x + FeedForward(dtype=self.dtype, name="ff")(
-            nn.LayerNorm(dtype=self.dtype, name="norm3")(x))
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x))
         return x
 
 

@@ -31,12 +31,14 @@ class EdgeWeightNet(nn.Module):
 
     @nn.compact
     def __call__(self, s: jax.Array, p: jax.Array, o: jax.Array):
-        s = nn.Dense(self.feat_dim, kernel_init=he_normal, dtype=self.dtype,
-                     name="down_obj")(s)
+        # one shared projection for subject AND object, like the reference
+        # (graph.py:70-73 applies down_sample_obj to both s and o)
+        down_obj = nn.Dense(self.feat_dim, kernel_init=he_normal,
+                            dtype=self.dtype, name="down_obj")
+        s = down_obj(s)
         p = nn.Dense(self.feat_dim, kernel_init=he_normal, dtype=self.dtype,
                      name="down_pred")(p)
-        o = nn.Dense(self.feat_dim, kernel_init=he_normal, dtype=self.dtype,
-                     name="down_obj2")(o)
+        o = down_obj(o)
         feat = jnp.concatenate([s, o, p], axis=1)
 
         def head(name):

@@ -64,14 +64,14 @@ class ResBlock3D(nn.Module):
     def __call__(self, x: jax.Array, emb: jax.Array,
                  deterministic: bool = True) -> jax.Array:
         in_ch = x.shape[-1]
-        h = GroupNorm(silu=True, name="norm1")(x)
+        h = GroupNorm(silu=True, eps=1e-5, name="norm1")(x)
         h = conv3(self.out_channels, "conv1", dtype=self.dtype)(h)
 
         emb_out = nn.Dense(self.out_channels, dtype=self.dtype,
                            name="emb_proj")(nn.silu(emb))
         h = h + emb_out[:, None, None, None, :].astype(h.dtype)
 
-        h = GroupNorm(silu=True, name="norm2")(h)
+        h = GroupNorm(silu=True, eps=1e-5, name="norm2")(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = conv3(self.out_channels, "conv2", zero_init=True, dtype=self.dtype)(h)
@@ -177,7 +177,7 @@ class UNet3D(nn.Module):
                     ds //= 2
                 block += 1
 
-        h = GroupNorm(silu=True, name="norm_out")(h)
+        h = GroupNorm(silu=True, eps=1e-5, name="norm_out")(h)
         h = conv3(cfg.out_channels, "conv_out", zero_init=True,
                   dtype=self.dtype)(h)
         return h.astype(jnp.float32)

@@ -25,6 +25,12 @@ from commonscenes_tpu.core.config import VQVAEConfig
 from commonscenes_tpu.nn.attention import GroupNorm
 
 
+def _vq_groups(C: int) -> int:
+    """Reference Normalize group rule (vqvae_modules.py:13-21): 32 groups,
+    or C//4 when C <= 32 (tiny widths)."""
+    return max(C // 4, 1) if C <= 32 else 32
+
+
 def swish(x):
     return x * nn.sigmoid(x)
 
@@ -45,9 +51,11 @@ class VQResBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         in_ch = x.shape[-1]
-        h = GroupNorm(silu=True, name="norm1")(x)   # swish ≡ SiLU, fused
+        h = GroupNorm(num_groups=_vq_groups(in_ch), silu=True,
+                      name="norm1")(x)   # swish ≡ SiLU, fused
         h = conv3(self.out_channels, "conv1", dtype=self.dtype)(h)
-        h = GroupNorm(silu=True, name="norm2")(h)
+        h = GroupNorm(num_groups=_vq_groups(self.out_channels),
+                      silu=True, name="norm2")(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = conv3(self.out_channels, "conv2", dtype=self.dtype)(h)
@@ -66,7 +74,7 @@ class VQAttnBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         B, D, H, W, C = x.shape
-        h = GroupNorm(name="norm")(x)
+        h = GroupNorm(num_groups=_vq_groups(C), name="norm")(x)
         q = nn.Conv(C, (1, 1, 1), dtype=self.dtype, name="q")(h).reshape(B, -1, C)
         k = nn.Conv(C, (1, 1, 1), dtype=self.dtype, name="k")(h).reshape(B, -1, C)
         v = nn.Conv(C, (1, 1, 1), dtype=self.dtype, name="v")(h).reshape(B, -1, C)
@@ -138,8 +146,8 @@ class Encoder3D(nn.Module):
         h = VQAttnBlock(dtype=self.dtype, name="mid_attn")(h)
         h = VQResBlock(h.shape[-1], cfg.dropout, dtype=self.dtype,
                        name="mid_block_2")(h, deterministic)
-        h = GroupNorm(name="norm_out")(h)
-        h = nn.gelu(h)   # activ='gelu' head (vqvae_modules.py:199-200)
+        h = GroupNorm(num_groups=_vq_groups(h.shape[-1]), name="norm_out")(h)
+        h = jax.nn.gelu(h, approximate=False)   # exact GELU head, torch nn.GELU (vqvae_modules.py:199-200)
         z_ch = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
         return conv3(z_ch, "conv_out", dtype=self.dtype)(h)
 
@@ -166,8 +174,8 @@ class Decoder3D(nn.Module):
                                name=f"up_{lvl}_block_{b}")(h, deterministic)
             if lvl != 0:
                 h = Upsample3D(ch, dtype=self.dtype, name=f"up_{lvl}_us")(h)
-        h = GroupNorm(name="norm_out")(h)
-        h = nn.gelu(h)
+        h = GroupNorm(num_groups=_vq_groups(h.shape[-1]), name="norm_out")(h)
+        h = jax.nn.gelu(h, approximate=False)
         return conv3(cfg.out_ch, "conv_out", dtype=self.dtype)(h)
 
 

@@ -100,6 +100,309 @@ def convert_torch_groupnorm(weight, bias) -> Dict[str, np.ndarray]:
     return {"scale": _t2n(weight), "bias": _t2n(bias)}
 
 
+def import_torch_mlp(sd: Dict[str, np.ndarray], prefix: str):
+    """torch ``build_mlp`` Sequential (model/layers.py:21-38: Linear /
+    [BatchNorm1d] / ReLU stacks) → our ``MLP`` tree.
+
+    Returns (params {dense_i, bn_i}, batch_stats {bn_i}) — batch_stats is
+    empty when the stack has no BatchNorm.
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    pre = f"{prefix}." if prefix else ""
+    li = bi = 0
+    for j in range(64):
+        w = sd.get(f"{pre}{j}.weight")
+        if w is None:
+            continue
+        if w.ndim == 2:  # Linear
+            params[f"dense_{li}"] = convert_torch_linear(
+                w, sd.get(f"{pre}{j}.bias"))
+            li += 1
+        elif w.ndim == 1:  # BatchNorm1d
+            params[f"bn_{bi}"] = {"scale": _t2n(w),
+                                  "bias": _t2n(sd[f"{pre}{j}.bias"])}
+            stats[f"bn_{bi}"] = {
+                "mean": _t2n(sd[f"{pre}{j}.running_mean"]),
+                "var": _t2n(sd[f"{pre}{j}.running_var"])}
+            bi += 1
+    return params, stats
+
+
+def import_reference_gcn(sd: Dict[str, Any], prefix: str, num_layers: int,
+                         pooling: str = "avg", residual: bool = False):
+    """Reference ``GraphTripleConvNet`` state dict (model/graph.py:214-250,
+    sub-modules ``gconvs.{i}.{net1,net2,linear_projection[,_pred],
+    weightNet}``) → our ``GraphTripleConvNet`` tree {gconv_i: ...}.
+
+    Returns (params, batch_stats); batch_stats empty without BN.
+    """
+    sd = {k: _t2n(v) for k, v in sd.items()}
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for i in range(num_layers):
+        lp = f"{prefix}gconvs.{i}" if prefix == "" or prefix.endswith(".") \
+            else f"{prefix}.gconvs.{i}"
+        layer: Dict[str, Any] = {}
+        lstats: Dict[str, Any] = {}
+        for net in ("net1", "net2"):
+            p, s = import_torch_mlp(sd, f"{lp}.{net}")
+            layer[net] = p
+            if s:
+                lstats[net] = s
+        if residual:
+            layer["proj_obj"] = convert_torch_linear(
+                sd[f"{lp}.linear_projection.weight"],
+                sd.get(f"{lp}.linear_projection.bias"))
+            layer["proj_pred"] = convert_torch_linear(
+                sd[f"{lp}.linear_projection_pred.weight"],
+                sd.get(f"{lp}.linear_projection_pred.bias"))
+        if pooling == "wAvg":
+            wn = f"{lp}.weightNet"
+            layer["weight_net"] = {
+                "down_obj": convert_torch_linear(
+                    sd[f"{wn}.down_sample_obj.weight"],
+                    sd.get(f"{wn}.down_sample_obj.bias")),
+                "down_pred": convert_torch_linear(
+                    sd[f"{wn}.down_sample_pred.weight"],
+                    sd.get(f"{wn}.down_sample_pred.bias")),
+                "net_s_0": convert_torch_linear(
+                    sd[f"{wn}.Net_s.0.weight"], sd.get(f"{wn}.Net_s.0.bias")),
+                "net_s_1": convert_torch_linear(
+                    sd[f"{wn}.Net_s.2.weight"], sd.get(f"{wn}.Net_s.2.bias")),
+                "net_o_0": convert_torch_linear(
+                    sd[f"{wn}.Net_o.0.weight"], sd.get(f"{wn}.Net_o.0.bias")),
+                "net_o_1": convert_torch_linear(
+                    sd[f"{wn}.Net_o.2.weight"], sd.get(f"{wn}.Net_o.2.bias")),
+            }
+        params[f"gconv_{i}"] = layer
+        if lstats:
+            stats[f"gconv_{i}"] = lstats
+    return params, stats
+
+
+def import_reference_unet(torch_state_dict: Dict[str, Any],
+                          model_channels: int,
+                          channel_mult,
+                          num_res_blocks: int,
+                          attention_resolutions,
+                          transformer_depth: int = 1) -> Dict[str, Any]:
+    """Reference ``UNet3DModel`` state dict (openai_model_3d.py:452-789,
+    torch module names ``time_embed`` / ``input_blocks.{i}`` /
+    ``middle_block`` / ``output_blocks.{i}`` / ``out``) → our ``UNet3D``
+    parameter tree, handling NCDHW→NDHWC conv transposes, Linear transposes
+    and the Conv3d-1×1 → Dense projections of the spatial transformers.
+    """
+    sd = {k: _t2n(v) for k, v in torch_state_dict.items()}
+    params: Dict[str, Any] = {}
+
+    def lin(src):
+        return convert_torch_linear(sd[src + ".weight"], sd.get(src + ".bias"))
+
+    def conv(src):
+        return convert_torch_conv3d(sd[src + ".weight"], sd.get(src + ".bias"))
+
+    def conv1x1_dense(src):
+        w = sd[src + ".weight"]  # [O, I, 1, 1, 1]
+        out = {"kernel": w[:, :, 0, 0, 0].T}
+        if src + ".bias" in sd:
+            out["bias"] = sd[src + ".bias"]
+        return out
+
+    def gnorm(src):
+        return {"scale": sd[src + ".weight"], "bias": sd[src + ".bias"]}
+
+    def resblock(src):
+        p = {
+            "norm1": gnorm(src + ".in_layers.0"),
+            "conv1": conv(src + ".in_layers.2"),
+            "emb_proj": lin(src + ".emb_layers.1"),
+            "norm2": gnorm(src + ".out_layers.0"),
+            "conv2": conv(src + ".out_layers.3"),
+        }
+        if src + ".skip_connection.weight" in sd:
+            p["skip"] = conv(src + ".skip_connection")
+        return p
+
+    def attention_block(src):
+        # CrossAttention (attention.py:154-219): to_q/k/v no-bias Linears,
+        # to_out.0 Linear
+        return {
+            "to_q": lin(src + ".to_q"),
+            "to_k": lin(src + ".to_k"),
+            "to_v": lin(src + ".to_v"),
+            "to_out": lin(src + ".to_out.0"),
+        }
+
+    def lnorm(src):
+        return {"scale": sd[src + ".weight"], "bias": sd[src + ".bias"]}
+
+    def transformer(src):
+        p = {
+            "norm": gnorm(src + ".norm"),
+            "proj_in": conv1x1_dense(src + ".proj_in"),
+            "proj_out": conv1x1_dense(src + ".proj_out"),
+        }
+        for d in range(transformer_depth):
+            b = f"{src}.transformer_blocks.{d}"
+            p[f"block_{d}"] = {
+                "attn1": attention_block(b + ".attn1"),
+                "attn2": attention_block(b + ".attn2"),
+                "norm1": lnorm(b + ".norm1"),
+                "norm2": lnorm(b + ".norm2"),
+                "norm3": lnorm(b + ".norm3"),
+                "ff": {"geglu": {"proj": lin(b + ".ff.net.0.proj")},
+                       "out": lin(b + ".ff.net.2")},
+            }
+        return p
+
+    params["time_0"] = lin("time_embed.0")
+    params["time_1"] = lin("time_embed.2")
+    params["conv_in"] = conv("input_blocks.0.0")
+
+    ib = 1
+    block = 0
+    ds = 1
+    for level, _mult in enumerate(channel_mult):
+        for _ in range(num_res_blocks):
+            params[f"down_res_{block}"] = resblock(f"input_blocks.{ib}.0")
+            if ds in attention_resolutions:
+                params[f"down_attn_{block}"] = transformer(
+                    f"input_blocks.{ib}.1")
+            ib += 1
+            block += 1
+        if level != len(channel_mult) - 1:
+            params[f"down_{level}"] = {"op": conv(f"input_blocks.{ib}.0.op")}
+            ib += 1
+            ds *= 2
+
+    params["mid_res_0"] = resblock("middle_block.0")
+    params["mid_attn"] = transformer("middle_block.1")
+    params["mid_res_1"] = resblock("middle_block.2")
+
+    ob = 0
+    block = 0
+    for level, _mult in reversed(list(enumerate(channel_mult))):
+        for i in range(num_res_blocks + 1):
+            params[f"up_res_{block}"] = resblock(f"output_blocks.{ob}.0")
+            nxt = 1
+            if ds in attention_resolutions:
+                params[f"up_attn_{block}"] = transformer(
+                    f"output_blocks.{ob}.{nxt}")
+                nxt += 1
+            if level and i == num_res_blocks:
+                params[f"up_{level}"] = {
+                    "conv": conv(f"output_blocks.{ob}.{nxt}.conv")}
+                ds //= 2
+            ob += 1
+            block += 1
+
+    params["norm_out"] = gnorm("out.0")
+    params["conv_out"] = conv("out.2")
+    return params
+
+
+def import_reference_layout(torch_state_dict: Dict[str, Any],
+                            num_gcn_layers: int = 5,
+                            pooling: str = "avg",
+                            residual: bool = False,
+                            use_angles: bool = True,
+                            use_e2: bool = True):
+    """Reference ``Sg2ScVAEModel`` layout weights (the top-level keys of the
+    merged v2_full .pth, VAEGAN_V2FULL.py:687-699) → our ``LayoutVAE``
+    parameter tree. ``Diff.*`` keys are ignored (they duplicate the 'vqvae'
+    and 'df' sub-dicts).
+
+    Returns (params, batch_stats).
+    """
+    sd = {k: _t2n(v) for k, v in torch_state_dict.items()
+          if not k.startswith("Diff.")}
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def embed(dst, src):
+        params[dst] = {"embedding": sd[src + ".weight"]}
+
+    embed("obj_embed_ec", "obj_embeddings_ec")
+    embed("pred_embed_ec", "pred_embeddings_ec")
+    embed("obj_embed_dc", "obj_embeddings_dc")
+    embed("pred_embed_dc", "pred_embeddings_dc")
+    if "pred_embeddings_man_dc.weight" in sd:
+        embed("pred_embed_man_dc", "pred_embeddings_man_dc")
+    params["box_embed"] = convert_torch_linear(
+        sd["d3_embeddings.weight"], sd.get("d3_embeddings.bias"))
+    if use_angles and "angle_embeddings.weight" in sd:
+        embed("angle_embed", "angle_embeddings")
+
+    mlp_map = {"mean_var": "mean_var", "mean": "mean_head", "var": "var_head",
+               "d3_net": "d3_net", "rel_mlp": "rel_mlp"}
+    if use_angles:
+        mlp_map.update({"angle_mean_var": "angle_mean_var",
+                        "angle_mean": "angle_mean_head",
+                        "angle_var": "angle_var_head",
+                        "angle_net": "angle_net"})
+    for src, dst in mlp_map.items():
+        if any(k.startswith(src + ".") for k in sd):
+            p, s = import_torch_mlp(sd, src)
+            params[dst] = p
+            if s:
+                stats[dst] = s
+
+    gcn_map = {"gconv_net_ec_box": "gconv_ec_box",
+               "gconv_net_dc": "gconv_dc",
+               "gconv_net_manipulation": "gconv_manipulation"}
+    if use_e2:
+        gcn_map["gconv_net_ec_rel"] = "gconv_ec_rel"
+    for src, dst in gcn_map.items():
+        if not any(k.startswith(src + ".") for k in sd):
+            continue
+        n_layers = num_gcn_layers
+        if src == "gconv_net_manipulation":
+            n_layers = min(num_gcn_layers, 5)
+        sub = {k[len(src) + 1:]: v for k, v in sd.items()
+               if k.startswith(src + ".")}
+        p, s = import_reference_gcn(sub, "", n_layers, pooling, residual)
+        params[dst] = p
+        if s:
+            stats[dst] = s
+    return params, stats
+
+
+def import_reference_v2full_checkpoint(merged_sd: Dict[str, Any],
+                                       layout_params: Dict[str, Any],
+                                       vqvae_params: Optional[Dict[str, Any]] = None,
+                                       unet_kwargs: Optional[Dict[str, Any]] = None,
+                                       **layout_kwargs):
+    """Split + convert the reference's merged v2_full checkpoint
+    (one .pth holding the Sg2ScVAEModel weights plus 'vqvae'/'df'/'opt'/
+    'epoch'/'counter' sub-trees, model/VAE.py:102-158) into our logical
+    sub-trees.
+
+    ``layout_params`` is our initialized LayoutVAE params (structure/shape
+    template); ``vqvae_params`` likewise for the VQ-VAE (optional);
+    ``unet_kwargs`` are the UNet geometry args for ``import_reference_unet``.
+
+    Returns dict(layout=(params, stats), vqvae=params|None, df=params|None,
+    epoch=int, counter=int). The torch Adam 'opt' state is not mapped — the
+    optimizers are different algebra (optax chains); resume across frameworks
+    restarts optimizer moments, as documented in PARITY.md.
+    """
+    sd = dict(merged_sd)
+    vq_sd = sd.pop("vqvae", None)
+    df_sd = sd.pop("df", None)
+    sd.pop("opt", None)
+    epoch = int(sd.pop("epoch", 0))
+    counter = int(sd.pop("counter", 0))
+
+    out: Dict[str, Any] = {"epoch": epoch, "counter": counter}
+    out["layout"] = import_reference_layout(sd, **layout_kwargs)
+    out["vqvae"] = (import_reference_vqvae(vq_sd, vqvae_params)
+                    if vq_sd is not None and vqvae_params is not None else None)
+    out["df"] = (import_reference_unet(df_sd, **unet_kwargs)
+                 if df_sd is not None and unet_kwargs is not None else None)
+    return out
+
+
 def import_reference_vqvae(torch_state_dict: Dict[str, Any],
                            jax_params: Dict[str, Any]) -> Dict[str, Any]:
     """Map the reference's VQVAE .pth state dict
