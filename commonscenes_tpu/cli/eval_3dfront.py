@@ -2,15 +2,24 @@
 TPU-native stack.
 
 Pipeline parity (eval_3dfront.py:59-780):
-1. load args.json + checkpoint;
-2. collect train-set latent statistics (mean/cov of encoder means,
-   model/VAE.py:160-191) with a pickle cache;
+1. load args.json + checkpoint (all four network types, incl. v1_full with
+   DeepSDF-latent retrieval, model/VAE.py:296-319);
+2. collect train-set latent statistics over the FULL train split
+   (model/VAE.py:160-191) with a pickle cache;
 3. generation loop: sample boxes/angles (+ shapes with DDIM-100 CFG),
-   denormalize, score scene-graph constraint accuracy (SCA);
-4. manipulation loops (relationship / addition) scoring only changed nodes;
+   denormalize with the dataset's per-split stats (helpers/util.py:536-562),
+   score scene-graph constraint accuracy (SCA);
+4. manipulation loops (relationship / addition) scoring only changed nodes,
+   with shape regeneration (reference decoder_with_changes_boxes_and_shape,
+   model/VAE.py:193-235);
 5. optional diversity: repeated shape resampling + chamfer;
-6. exports: denormalized layouts (json) + SDF grids (npz) for the offline
-   FID/KID and MMD/COV/1-NN tooling.
+6. exports: denormalized layouts (json), SDF grids (npz), OBJ scene meshes
+   and DOT graphs for the offline FID/KID and MMD/COV/1-NN tooling.
+
+TPU redesign vs the reference's batch-1 python loop: scenes are evaluated in
+jitted multi-scene batches with shape slots packed across the batch
+(eval/sampling.py), sharded over a device mesh when the batch divides the
+device count.
 """
 
 from __future__ import annotations
@@ -21,6 +30,7 @@ import os
 import pickle
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -42,7 +52,70 @@ def build_parser():
                    choices=["none", "relationship", "addition"])
     p.add_argument("--export_dir", default="")
     p.add_argument("--seed", type=int, default=47)
+    # TPU-native batching knobs
+    p.add_argument("--eval_batch", type=int, default=4,
+                   help="scenes per jitted sampling call")
+    p.add_argument("--pack_bucket", type=int, default=16,
+                   help="shape-slot packing bucket (static DDIM batch)")
+    p.add_argument("--stats_batch", type=int, default=16,
+                   help="scenes per jitted latent-stats batch")
+    p.add_argument("--stats_limit", type=int, default=0,
+                   help="cap train scenes for latent stats (0 = full split)")
     return p
+
+
+def _batch_cfg(cfg, batch_size):
+    return cfg.batch.__class__(
+        batch_size=batch_size, max_objs=cfg.batch.max_objs,
+        max_triples=cfg.batch.max_triples,
+        diffusion_bs=cfg.batch.diffusion_bs, sdf_res=cfg.batch.sdf_res)
+
+
+def _export_scene(export_dir, scene, vocab, b, bi, boxes_d, angles_row,
+                  sdfs=None, slot_rows=None, retrieved=None):
+    """Per-scene exports: DOT graph, layout row, optional OBJ/NPZ meshes."""
+    import jax  # noqa: F401  (kept lazy)
+    from commonscenes_tpu.eval.graph_viz import export_dot
+    N = b.dec.objs.shape[1]
+    mask = np.asarray(b.dec.obj_mask[bi]) > 0
+    objs_row = np.asarray(b.dec.objs[bi])
+    export_dot(os.path.join(export_dir, f"{scene.scan_id}.dot"),
+               objs_row, np.asarray(b.dec.triples[bi]),
+               vocab.obj_classes, vocab.predicates,
+               obj_mask=np.asarray(b.dec.obj_mask[bi]),
+               triple_mask=np.asarray(b.dec.triple_mask[bi]),
+               node_new=np.asarray(b.node_new[bi]),
+               node_changed=np.asarray(b.node_changed[bi]),
+               scene_class_id=vocab.scene_class_id)
+    rec = {"scan_id": scene.scan_id,
+           "objs": objs_row[mask].tolist(),
+           "boxes": boxes_d[bi * N:(bi + 1) * N][mask].tolist(),
+           "angles": angles_row[bi * N:(bi + 1) * N][mask].tolist()}
+    if retrieved is not None:
+        rec["retrieved"] = retrieved
+    if sdfs is not None and slot_rows is not None and len(slot_rows):
+        from commonscenes_tpu.eval.scene_export import (
+            angle_bin_to_degrees, export_obj, fit_vertices_to_box)
+        from commonscenes_tpu.ops.mesh import marching_tetrahedra
+        np.savez_compressed(
+            os.path.join(export_dir, f"{scene.scan_id}_sdf.npz"),
+            sdf=sdfs.astype(np.float32), slots=np.asarray(slot_rows) % N)
+        meshes, names = [], []
+        for kk, flat_slot in enumerate(slot_rows):
+            slot = int(flat_slot) % N
+            vv, ff = marching_tetrahedra(sdfs[kk], level=0.02)
+            if len(ff) == 0:
+                continue
+            vv = fit_vertices_to_box(
+                vv, boxes_d[bi * N + slot],
+                angle_deg=angle_bin_to_degrees(
+                    int(angles_row[bi * N + slot])))
+            meshes.append((vv, ff))
+            names.append(f"{vocab.obj_classes[int(objs_row[slot])]}_{kk}")
+        if meshes:
+            export_obj(os.path.join(export_dir, f"{scene.scan_id}.obj"),
+                       meshes, names)
+    return rec
 
 
 def main(argv=None):
@@ -59,8 +132,9 @@ def main(argv=None):
     from commonscenes_tpu.eval.constraints import (accuracy_summary,
                                                    validate_constraints)
     from commonscenes_tpu.eval.diversity import diversity_between_runs
+    from commonscenes_tpu.eval.sampling import (collect_latent_stats,
+                                                make_eval_mesh, pack_slots)
     from commonscenes_tpu.models.commonscenes import CommonScenesV2Full
-    from commonscenes_tpu.models.layout_vae import LayoutVAE
     from commonscenes_tpu.train.checkpoints import restore_checkpoint
     from commonscenes_tpu.train.step_v2full import V2FullTrainer
 
@@ -76,8 +150,10 @@ def main(argv=None):
     else:
         train_args = tp().parse_args([])
     cfg = build_config(train_args)
-    with_shapes = train_args.network_type == "v2_full"
-    use_clip = cfg.layout.use_clip
+    net_type = train_args.network_type
+    v1_full = net_type == "v1_full"
+    with_shapes = net_type == "v2_full"
+    use_clip = cfg.layout.use_clip and not v1_full
 
     if args.dataset == "synthetic":
         vocab = Vocab.synthetic()
@@ -98,170 +174,263 @@ def main(argv=None):
                                   use_sdf=with_shapes, with_clip=use_clip)
         vocab = train_set.vocab
 
+    # per-split denormalization stats (reference helpers/util.py:536-562 via
+    # the split's boxes_centered_stats file — NOT hard-coded bedroom values)
+    box_mean = getattr(test_set, "box_mean", None)
+    box_std = getattr(test_set, "box_std", None)
+    denorm = partial(denormalize_boxes, mean=box_mean, std=box_std)
+
     dtype = jnp.bfloat16 if getattr(train_args, "bf16", True) else None
-    model = CommonScenesV2Full(cfg, vocab.num_obj_classes,
-                               vocab.num_pred_classes, dtype=dtype)
-    trainer = V2FullTrainer(cfg, model, with_shapes=with_shapes)
-
     rng = np.random.RandomState(args.seed)
-    batch0 = collate([train_set[0], train_set[1 % len(train_set)]], vocab,
-                     cfg.batch.__class__(
-                         batch_size=2, max_objs=cfg.batch.max_objs,
-                         max_triples=cfg.batch.max_triples,
-                         diffusion_bs=cfg.batch.diffusion_bs,
-                         sdf_res=cfg.batch.sdf_res),
-                     rng, use_clip=use_clip, with_shapes=with_shapes)
-    state = trainer.init_state(jax.random.PRNGKey(0), batch0)
+    key = jax.random.PRNGKey(args.seed)
+    B = max(1, args.eval_batch)
+    mesh = make_eval_mesh(B)
+    if mesh is not None:
+        print(f"[*] eval sharded over {mesh.devices.size} devices")
+
+    # ------------------------------------------------------------------
+    # build model + restore checkpoint
+    # ------------------------------------------------------------------
+    batch0 = collate([train_set[i % len(train_set)] for i in range(B)],
+                     vocab, _batch_cfg(cfg, B), rng, use_clip=use_clip,
+                     with_shapes=with_shapes)
     ckpt = os.path.join(args.exp, train_args.outf, f"model_{args.epoch}")
-    if os.path.exists(ckpt):
-        state, _ = restore_checkpoint(ckpt, state)
-        print(f"[*] loaded {ckpt}")
+
+    if v1_full:
+        from commonscenes_tpu.models.v1_full import (ShapeRetrieval,
+                                                     V1FullVAE,
+                                                     pseudo_shape_codes)
+        from commonscenes_tpu.train.step_v1full import V1FullTrainer
+        model = V1FullVAE(num_obj_classes=vocab.num_obj_classes,
+                          num_pred_classes=vocab.num_pred_classes,
+                          gconv_pooling=cfg.layout.gconv_pooling,
+                          residual=cfg.layout.residual,
+                          use_angles=cfg.layout.use_angles,
+                          num_box_params=cfg.layout.num_box_params,
+                          replace_latent=cfg.layout.replace_latent,
+                          dtype=dtype)
+        trainer = V1FullTrainer(cfg, model, vocab.num_obj_classes,
+                                vocab.num_pred_classes)
+        codes0 = jnp.asarray(pseudo_shape_codes(np.asarray(batch0.dec.objs)))
+        state = trainer.init_state(jax.random.PRNGKey(0), batch0, codes0)
+        if os.path.exists(ckpt):
+            import orbax.checkpoint as ocp
+            ckptr = ocp.StandardCheckpointer()
+            state = ckptr.restore(os.path.abspath(ckpt), target=state)
+            print(f"[*] loaded {ckpt}")
+        else:
+            print(f"[!] checkpoint {ckpt} missing — evaluating random init")
+        variables = {"params": state.params, "batch_stats": state.stats}
+
+        # retrieval database (reference model/VAE.py:29-46): real DeepSDF
+        # codes when the dataset ships them, else per-class pseudo-codes
+        deepsdf_root = os.path.join(args.dataset, "DEEPSDF_reconstruction") \
+            if args.dataset != "synthetic" else ""
+        if deepsdf_root and os.path.isdir(os.path.join(deepsdf_root, "Codes")):
+            retrieval = ShapeRetrieval.from_deepsdf_dir(deepsdf_root)
+            mesh_base = os.path.join(deepsdf_root, "Meshes")
+        else:
+            retrieval = ShapeRetrieval(
+                {f"class_{c}": pseudo_shape_codes(np.asarray([c]))[0]
+                 for c in range(vocab.num_obj_classes)})
+            mesh_base = ""
     else:
-        print(f"[!] checkpoint {ckpt} missing — evaluating random init")
+        model = CommonScenesV2Full(cfg, vocab.num_obj_classes,
+                                   vocab.num_pred_classes, dtype=dtype)
+        trainer = V2FullTrainer(cfg, model, with_shapes=with_shapes)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch0)
+        if os.path.exists(ckpt):
+            state, _ = restore_checkpoint(ckpt, state)
+            print(f"[*] loaded {ckpt}")
+        else:
+            print(f"[!] checkpoint {ckpt} missing — evaluating random init")
+        variables = {
+            "layout": {"params": state.gen_params["layout"],
+                       "batch_stats": state.gen_stats["layout"]},
+            "df": {"params": state.gen_params["df"]} if state.gen_params.get("df") else None,
+            "vqvae": {"params": state.vqvae_params} if state.vqvae_params else None,
+        }
 
-    variables = {
-        "layout": {"params": state.gen_params["layout"],
-                   "batch_stats": state.gen_stats["layout"]},
-        "df": {"params": state.gen_params["df"]} if state.gen_params.get("df") else None,
-        "vqvae": {"params": state.vqvae_params} if state.vqvae_params else None,
-    }
-
-    # ---- train-set latent statistics (cached, VAE.py:160-191) ----
+    # ------------------------------------------------------------------
+    # train-set latent statistics over the FULL split (cached;
+    # reference VAE.py:160-191)
+    # ------------------------------------------------------------------
     stats_pkl = os.path.join(args.exp, f"model_stats_{args.epoch}.pkl")
     if os.path.exists(stats_pkl):
         with open(stats_pkl, "rb") as f:
             mean_est, cov_est = pickle.load(f)
     else:
-        mus = []
-        for i in range(min(len(train_set), 32)):
-            b = collate([train_set[i]], vocab,
-                        cfg.batch.__class__(batch_size=1,
-                                            max_objs=cfg.batch.max_objs,
-                                            max_triples=cfg.batch.max_triples,
-                                            diffusion_bs=cfg.batch.diffusion_bs,
-                                            sdf_res=cfg.batch.sdf_res),
-                        rng, use_clip=use_clip)
-            m, _ = model.encode_means(variables, b.enc)
-            mus.append(m)
-        mu_cat = np.concatenate(mus, 0)
-        mean_est = mu_cat.mean(0)
-        cov_est = np.cov((mu_cat - mean_est).T)
+        if v1_full:
+            @jax.jit
+            def _enc_v1(enc, codes):
+                mu, _ = model.apply(variables, enc, codes, train=False,
+                                    method=V1FullVAE.encode)
+                return mu
+
+            def encode_fn(enc):
+                codes = jnp.asarray(pseudo_shape_codes(np.asarray(enc.objs)))
+                return _enc_v1(enc, codes)
+        else:
+            from commonscenes_tpu.models.layout_vae import LayoutVAE
+
+            @jax.jit
+            def _enc(enc):
+                mu, _ = model.layout.apply(variables["layout"], enc,
+                                           train=False,
+                                           method=LayoutVAE.encode)
+                return mu
+
+            encode_fn = _enc
+        mean_est, cov_est = collect_latent_stats(
+            encode_fn, train_set, vocab, cfg.batch, rng, use_clip,
+            batch_size=args.stats_batch,
+            limit=args.stats_limit or None)
         with open(stats_pkl, "wb") as f:
             pickle.dump((mean_est, cov_est), f)
     cov_chol = np.linalg.cholesky(
         cov_est + 1e-5 * np.eye(cov_est.shape[0]))
+    mean_j = jnp.asarray(mean_est)
+    chol_j = jnp.asarray(cov_chol)
 
-    # ---- generation / manipulation loop ----
+    # ------------------------------------------------------------------
+    # jitted samplers (compiled once per packed-slot bucket K)
+    # ------------------------------------------------------------------
+    gen_shapes = bool(args.gen_shape and with_shapes)
+
+    if not v1_full:
+        @partial(jax.jit, static_argnames=("gen",))
+        def sample_fn(dec, k, slots, gen):
+            return model.sample(variables, dec, mean_j, chol_j, k,
+                                gen_shape=gen, shape_slot_idx=slots)
+
+        @partial(jax.jit, static_argnames=("gen",))
+        def manip_fn(batch, k, slots, gen):
+            return model.manipulate_sample(variables, batch, k,
+                                           gen_shape=gen,
+                                           shape_slot_idx=slots)
+    else:
+        from commonscenes_tpu.models.v1_full import V1FullVAE as _V1
+
+        @jax.jit
+        def v1_sample_fn(dec, k):
+            BN = dec.objs.shape[0] * dec.objs.shape[1]
+            eps = jax.random.normal(k, (BN, mean_j.shape[0]))
+            z = mean_j[None, :] + eps @ chol_j.T
+            boxes, angles, shapes = model.apply(
+                variables, z, dec, train=False, method=_V1.decode)
+            return {"boxes": boxes, "angles": angles, "shapes": shapes}
+
+    # ------------------------------------------------------------------
+    # evaluation loop (batched; reference validate_constrains_loop[_w_changes])
+    # ------------------------------------------------------------------
     accuracy = None
     run_sdfs = [[] for _ in range(max(args.num_samples, 1))]
     obj_classes_acc = []
     export = []
-    key = jax.random.PRNGKey(args.seed)
-    t_start = time.time()
-    n_eval = min(args.num_scenes, len(test_set))
     manip = args.manipulation
+    n_eval = min(args.num_scenes, len(test_set))
+    if args.export_dir:
+        os.makedirs(args.export_dir, exist_ok=True)
 
-    for i in range(n_eval):
-        scene = test_set[i]
-        b = collate([scene], vocab,
-                    cfg.batch.__class__(batch_size=1,
-                                        max_objs=cfg.batch.max_objs,
-                                        max_triples=cfg.batch.max_triples,
-                                        diffusion_bs=cfg.batch.diffusion_bs,
-                                        sdf_res=cfg.batch.sdf_res),
-                    rng, use_clip=use_clip,
-                    manipulation_modes=(manip,),
-                    with_shapes=False)
-        key, sub = jax.random.split(key)
+    t_start = time.time()
+    scenes_done = 0
+    ctx = mesh if mesh is not None else _nullcontext()
+    with ctx:
+        for start in range(0, n_eval, B):
+            idx = [min(i, n_eval - 1) for i in range(start, start + B)]
+            n_valid = min(B, n_eval - start)
+            scenes = [test_set[i] for i in idx]
+            b = collate(scenes, vocab, _batch_cfg(cfg, B), rng,
+                        use_clip=use_clip, manipulation_modes=(manip,),
+                        with_shapes=False)
+            if mesh is not None:
+                from commonscenes_tpu.parallel.mesh import shard_batch
+                b = shard_batch(mesh, b)
+            key, sub = jax.random.split(key)
 
-        # pack shape generation to real furniture slots (skip pad + root)
-        objs_row = np.asarray(b.dec.objs).reshape(-1)
-        mask_row = np.asarray(b.dec.obj_mask).reshape(-1) > 0
-        slots = np.where(mask_row & (objs_row != vocab.scene_class_id))[0]
-        K = cfg.batch.max_objs  # static bucket
-        slots_padded = np.concatenate(
-            [slots, np.zeros(K - len(slots), np.int64)])[:K].astype(np.int32)
-        n_real = min(len(slots), K)
+            slots, n_real = pack_slots(
+                b.dec.objs, b.dec.obj_mask, vocab.scene_class_id,
+                bucket=args.pack_bucket)
+            slots_j = jnp.asarray(slots)
 
-        if manip == "none":
-            out = model.sample(variables, b.dec, jnp.asarray(mean_est),
-                               jnp.asarray(cov_chol), sub,
-                               gen_shape=args.gen_shape and with_shapes,
-                               shape_slot_idx=jnp.asarray(slots_padded))
-            keep = None
-        else:
-            # manipulation eval: encode GT, apply changes, decode
-            lv_out = model.layout.apply(
-                variables["layout"], b.enc, b.dec, b.node_new,
-                b.node_changed, sub, train=False)
-            out = {"boxes": lv_out["boxes"], "angles": lv_out["angles"],
-                   "sdf": None}
-            keep = np.asarray(b.keep_mask).reshape(-1)
+            if v1_full:
+                out = v1_sample_fn(b.dec, sub)
+                keep = None
+            elif manip == "none":
+                out = sample_fn(b.dec, sub, slots_j, gen_shapes)
+                keep = None
+            else:
+                out = manip_fn(b, sub, slots_j, gen_shapes)
+                keep = np.asarray(out["keep"])
 
-        mask = np.asarray(b.dec.obj_mask).reshape(-1) > 0
-        boxes_n = np.asarray(out["boxes"])
-        boxes_d = denormalize_boxes(boxes_n)
-        accuracy = validate_constraints(
-            np.asarray(b.dec.triples), boxes_d, vocab.predicates,
-            keep=keep, triple_mask=np.asarray(b.dec.triple_mask),
-            changes_mode=(manip != "none"), accuracy=accuracy)
+            boxes_d = denorm(np.asarray(out["boxes"], np.float32))
+            angles_row = np.asarray(out["angles"]).argmax(1)
 
-        if args.gen_shape and with_shapes and args.evaluate_diversity:
-            for s_idx in range(args.num_samples):
-                key, sub2 = jax.random.split(key)
-                o = model.sample(variables, b.dec, jnp.asarray(mean_est),
-                                 jnp.asarray(cov_chol), sub2, gen_shape=True,
-                                 shape_slot_idx=jnp.asarray(slots_padded))
-                run_sdfs[s_idx].append(np.asarray(o["sdf"])[:n_real])
-            obj_classes_acc.append(objs_row[slots[:n_real]])
+            # SCA per scene (only valid rows of the last ragged batch)
+            for bi in range(n_valid):
+                N = cfg.batch.max_objs
+                sl = slice(bi * N, (bi + 1) * N)
+                accuracy = validate_constraints(
+                    np.asarray(b.dec.triples[bi]),
+                    boxes_d[sl],
+                    vocab.predicates,
+                    keep=keep[sl] if keep is not None else None,
+                    triple_mask=np.asarray(b.dec.triple_mask[bi])[None],
+                    changes_mode=(manip != "none"), accuracy=accuracy)
 
-        if args.export_dir:
-            os.makedirs(args.export_dir, exist_ok=True)
-            export.append({"scan_id": scene.scan_id,
-                           "objs": np.asarray(b.dec.objs).reshape(-1)[mask].tolist(),
-                           "boxes": boxes_d[mask].tolist(),
-                           "angles": np.asarray(out["angles"]).argmax(1)[mask].tolist()})
-            # scene-graph figure (reference helpers/visualize_graph.py)
-            from commonscenes_tpu.eval.graph_viz import export_dot
-            export_dot(os.path.join(args.export_dir, f"{scene.scan_id}.dot"),
-                       np.asarray(b.dec.objs[0]), np.asarray(b.dec.triples[0]),
-                       vocab.obj_classes, vocab.predicates,
-                       obj_mask=np.asarray(b.dec.obj_mask[0]),
-                       triple_mask=np.asarray(b.dec.triple_mask[0]),
-                       node_new=np.asarray(b.node_new[0]),
-                       node_changed=np.asarray(b.node_changed[0]),
-                       scene_class_id=vocab.scene_class_id)
+            sdf_np = None
             if out.get("sdf") is not None:
-                sdfs_m = np.asarray(out["sdf"])[:n_real].astype(np.float32)
-                np.savez_compressed(
-                    os.path.join(args.export_dir, f"{scene.scan_id}_sdf.npz"),
-                    sdf=sdfs_m, slots=slots[:n_real])
-                # assembled scene mesh (reference render_v2_full glb export,
-                # visualize_scene.py:378-461) as OBJ
-                from commonscenes_tpu.eval.scene_export import (
-                    angle_bin_to_degrees, export_obj, fit_vertices_to_box)
-                from commonscenes_tpu.ops.mesh import marching_tetrahedra
-                angs_all = np.asarray(out["angles"]).argmax(1)
-                meshes, names = [], []
-                for kk in range(sdfs_m.shape[0]):
-                    slot = int(slots[kk])
-                    vv, ff = marching_tetrahedra(sdfs_m[kk], level=0.02)
-                    if len(ff) == 0:
-                        continue
-                    vv = fit_vertices_to_box(
-                        vv, boxes_d[slot],
-                        angle_deg=angle_bin_to_degrees(int(angs_all[slot])))
-                    meshes.append((vv, ff))
-                    cls = int(objs_row[slot])
-                    names.append(f"{vocab.obj_classes[cls]}_{kk}")
-                if meshes:
-                    export_obj(os.path.join(args.export_dir,
-                                            f"{scene.scan_id}.obj"),
-                               meshes, names)
+                sdf_np = np.asarray(out["sdf"], np.float32)[..., 0] \
+                    if np.asarray(out["sdf"]).ndim == 5 else \
+                    np.asarray(out["sdf"], np.float32)
+
+            # diversity resampling (reference eval_3dfront.py:584-719)
+            if gen_shapes and args.evaluate_diversity and not v1_full \
+                    and manip == "none":
+                for s_idx in range(args.num_samples):
+                    key, sub2 = jax.random.split(key)
+                    o = sample_fn(b.dec, sub2, slots_j, True)
+                    sd = np.asarray(o["sdf"], np.float32)[..., 0]
+                    run_sdfs[s_idx].append(sd[:n_real])
+                objs_flat = np.asarray(b.dec.objs).reshape(-1)
+                obj_classes_acc.append(objs_flat[slots[:n_real]])
+
+            # retrieval for v1_full (reference decode_g2sv1, VAE.py:296-319)
+            retrieved_all = None
+            if v1_full:
+                shapes_pred = np.asarray(out["shapes"], np.float32)
+                objs_flat = np.asarray(b.dec.objs).reshape(-1)
+                names = [vocab.obj_classes[int(c)] for c in
+                         objs_flat[slots[:n_real]]]
+                ids = retrieval.lookup(shapes_pred[slots[:n_real]], names)
+                retrieved_all = dict(zip([int(s) for s in slots[:n_real]], ids))
+
+            if args.export_dir:
+                N = cfg.batch.max_objs
+                for bi in range(n_valid):
+                    slot_rows = [s for s in slots[:n_real]
+                                 if s // N == bi] if n_real else []
+                    sd_rows = None
+                    if sdf_np is not None and slot_rows:
+                        sel = [int(np.where(slots[:n_real] == s)[0][0])
+                               for s in slot_rows]
+                        sd_rows = sdf_np[sel]
+                    retr = None
+                    if retrieved_all is not None:
+                        retr = {int(s) % N: retrieved_all[int(s)]
+                                for s in slot_rows if int(s) in retrieved_all}
+                    export.append(_export_scene(
+                        args.export_dir, scenes[bi], vocab, b, bi, boxes_d,
+                        angles_row, sdfs=sd_rows, slot_rows=slot_rows,
+                        retrieved=retr))
+            scenes_done += n_valid
 
     dt = time.time() - t_start
     summary = accuracy_summary(accuracy) if accuracy else {}
-    summary["scenes_per_sec"] = n_eval / dt
+    summary["scenes_per_sec"] = scenes_done / dt
+    summary["eval_batch"] = B
+    summary["network_type"] = net_type
+    summary["latent_stats_scenes"] = (args.stats_limit or len(train_set))
 
     if args.evaluate_diversity and any(len(r) for r in run_sdfs):
         runs = [np.concatenate(r, 0) for r in run_sdfs if r]
@@ -269,13 +438,20 @@ def main(argv=None):
         summary.update(diversity_between_runs(runs, classes))
 
     if args.export_dir:
-        os.makedirs(args.export_dir, exist_ok=True)
         with open(os.path.join(args.export_dir, "layouts.json"), "w") as f:
             json.dump(export, f)
 
     print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
                       for k, v in summary.items()}, indent=2))
     return summary
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
 
 
 if __name__ == "__main__":

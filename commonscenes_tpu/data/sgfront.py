@@ -67,9 +67,18 @@ class SGFrontDataset:
         box_file = os.path.join(root, f"obj_boxes_{room_type}_{self.split_tag}.json")
         stats_file = os.path.join(
             root, f"boxes_centered_stats_{room_type}_{self.split_tag}.txt")
-        self.box_mean, self.box_std = (None, None)
+        # per-split normalization stats (reference helpers/util.py:536-562
+        # loads boxes_centered_stats_{room}_{split}.txt). ``box_mean/std``
+        # are the 6-param stats eval must use for denormalization; the
+        # 7-param versions (incl. angle) drive input normalization. Falls
+        # back to the published bedroom constants when the file is absent.
+        from commonscenes_tpu.data.synthetic import BOX_MEAN, BOX_STD
+        self.box_mean, self.box_std = BOX_MEAN, BOX_STD
+        self._stats7 = None
         if os.path.exists(stats_file):
-            self.box_mean, self.box_std = _load_box_stats(stats_file)
+            m, sd_ = _load_box_stats(stats_file)
+            self._stats7 = (m, sd_)
+            self.box_mean, self.box_std = m[:6], sd_[:6]
 
         with open(rel_file) as f:
             rel_data = json.load(f)
@@ -101,9 +110,12 @@ class SGFrontDataset:
         return self.data_len if self.data_len is not None else len(self.scans)
 
     def normalize_box(self, param7: np.ndarray) -> np.ndarray:
-        if self.box_mean is None:
-            return param7
-        return 3.0 * (param7 - self.box_mean) / self.box_std
+        if self._stats7 is None:
+            out = param7.copy()
+            out[:6] = 3.0 * (param7[:6] - self.box_mean) / self.box_std
+            return out
+        m, sd_ = self._stats7
+        return 3.0 * (param7 - m) / sd_
 
     def _read_sdf(self, model_path: Optional[str]) -> Optional[np.ndarray]:
         if not model_path:
@@ -134,7 +146,19 @@ class SGFrontDataset:
                 out.append(feats_ins[:-1][order == inst])
             out.append(feats_ins[-1][None])
             text_feats = np.concatenate(out, 0)
-            rel_feats = np.asarray(dic["rel_feats"], np.float32)
+            # the reference writes rel_feats as a dict keyed by the relation
+            # phrase (threedfront_dataset.py:477-507: feats_rel[words[i]]),
+            # re-assembled per triple in word order at read time
+            rel_raw = dic["rel_feats"]
+            if isinstance(rel_raw, dict):
+                dim = feats_ins.shape[1]
+                rows = [np.asarray(rel_raw[w], np.float32).reshape(-1)
+                        if w in rel_raw else np.zeros(dim, np.float32)
+                        for w in triples_words]
+                rel_feats = (np.stack(rows) if rows
+                             else np.zeros((0, dim), np.float32))
+            else:
+                rel_feats = np.asarray(rel_raw, np.float32)
             return text_feats, rel_feats
         if self.clip_cache is not None:
             text_feats = np.stack([self.clip_cache.text_feature(n)

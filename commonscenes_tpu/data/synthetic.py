@@ -29,12 +29,23 @@ BOX_STD = np.array([1.7797655, 1.657638, 0.8501885, 1.9160025, 2.0038228,
 BOX_SCALE = 3.0
 
 
-def normalize_boxes(boxes: np.ndarray) -> np.ndarray:
-    return BOX_SCALE * (boxes - BOX_MEAN) / BOX_STD
+def normalize_boxes(boxes: np.ndarray, mean: Optional[np.ndarray] = None,
+                    std: Optional[np.ndarray] = None) -> np.ndarray:
+    """z-score × scale, per-split stats (reference helpers/util.py:519-533;
+    defaults = the published bedroom constants)."""
+    mean = BOX_MEAN if mean is None else mean
+    std = BOX_STD if std is None else std
+    return BOX_SCALE * (boxes - mean) / std
 
 
-def denormalize_boxes(boxes: np.ndarray) -> np.ndarray:
-    return boxes * BOX_STD / BOX_SCALE + BOX_MEAN
+def denormalize_boxes(boxes: np.ndarray, mean: Optional[np.ndarray] = None,
+                      std: Optional[np.ndarray] = None) -> np.ndarray:
+    """Inverse of normalize_boxes (reference helpers/util.py:536-562). Eval
+    must pass the *dataset's* per-split stats — bedroom constants are only
+    correct for bedroom/synthetic data."""
+    mean = BOX_MEAN if mean is None else mean
+    std = BOX_STD if std is None else std
+    return boxes * std / BOX_SCALE + mean
 
 
 def sphere_sdf(res: int, radius: float, trunc: float = 0.2) -> np.ndarray:
@@ -175,6 +186,10 @@ class SyntheticDataset:
         self.clip_dim = clip_dim
         self.with_clip = with_clip
         self._seed = seed
+        # dataset-level normalization stats (synthetic scenes are generated
+        # with the bedroom constants)
+        self.box_mean = BOX_MEAN
+        self.box_std = BOX_STD
 
     def __len__(self):
         return self.num_scenes

@@ -213,34 +213,82 @@ class CommonScenesV2Full:
 
         gen_sdf = None
         if gen_shape:
-            if shape_slot_idx is not None:
-                c_rel = jnp.take(c_rel, shape_slot_idx, axis=0)
-                uc_rel = jnp.take(uc_rel, shape_slot_idx, axis=0)
-            K = c_rel.shape[0]
-            z_sp, zc = cfg.vqvae.z_spatial, cfg.vqvae.embed_dim
-            if shared_noise:
-                single = jax.random.normal(k_noise, (1, z_sp, z_sp, z_sp, zc))
-                x_T = jnp.tile(single, (K, 1, 1, 1, 1))
-            else:
-                x_T = jax.random.normal(k_noise, (K, z_sp, z_sp, z_sp, zc))
-
-            if cfg.diffusion.conditioning_key == "concat":
-                c_in = c_rel.reshape(K, -1)
-                uc_in = uc_rel.reshape(K, -1)
-            else:
-                c_in, uc_in = c_rel, uc_rel
-
-            def denoise_fn(x, t, c):
-                return self.denoiser.apply(variables["df"], x, t, c)
-
-            samples = ddim_sample(denoise_fn, tables, x_T, c_in, uc_in,
-                                  uc_scale=uc_scale)
-            gen_sdf = self.vqvae.apply(variables["vqvae"], samples,
-                                       method=VQVAE3D.decode_no_quant)
-            if shape_mask is not None:
-                gen_sdf = gen_sdf * shape_mask.reshape(-1, 1, 1, 1, 1)
+            gen_sdf = self._gen_shapes(variables, uc_rel, c_rel, k_noise,
+                                       shape_slot_idx, tables, uc_scale,
+                                       shared_noise, shape_mask)
 
         return {"boxes": boxes, "angles": angles, "sdf": gen_sdf, "z": z}
+
+    def _gen_shapes(self, variables, uc_rel, c_rel, k_noise,
+                    shape_slot_idx, tables, uc_scale, shared_noise,
+                    shape_mask=None):
+        """DDIM chain + VQ-VAE decode over (optionally slot-packed) relation
+        tokens (reference rel2shape, sdfusion_txt2shape_model.py:460-516)."""
+        cfg = self.cfg
+        if shape_slot_idx is not None:
+            c_rel = jnp.take(c_rel, shape_slot_idx, axis=0)
+            uc_rel = jnp.take(uc_rel, shape_slot_idx, axis=0)
+        K = c_rel.shape[0]
+        z_sp, zc = cfg.vqvae.z_spatial, cfg.vqvae.embed_dim
+        if shared_noise:
+            single = jax.random.normal(k_noise, (1, z_sp, z_sp, z_sp, zc))
+            x_T = jnp.tile(single, (K, 1, 1, 1, 1))
+        else:
+            x_T = jax.random.normal(k_noise, (K, z_sp, z_sp, z_sp, zc))
+
+        if cfg.diffusion.conditioning_key == "concat":
+            c_in = c_rel.reshape(K, -1)
+            uc_in = uc_rel.reshape(K, -1)
+        else:
+            c_in, uc_in = c_rel, uc_rel
+
+        def denoise_fn(x, t, c):
+            return self.denoiser.apply(variables["df"], x, t, c)
+
+        samples = ddim_sample(denoise_fn, tables, x_T, c_in, uc_in,
+                              uc_scale=uc_scale)
+        gen_sdf = self.vqvae.apply(variables["vqvae"], samples,
+                                   method=VQVAE3D.decode_no_quant)
+        if shape_mask is not None:
+            gen_sdf = gen_sdf * shape_mask.reshape(-1, 1, 1, 1, 1)
+        return gen_sdf
+
+    # ------------------------------------------------------------------
+    # manipulation-mode eval (reference decoder_with_changes / _additions +
+    # shape regeneration, VAEGAN_V2FULL.py:332-396, used by
+    # scripts/eval_3dfront.py:280,306)
+    # ------------------------------------------------------------------
+
+    def manipulate_sample(self, variables: Dict[str, Any], batch: GraphBatch,
+                          key: jax.Array, gen_shape: bool = True,
+                          shape_slot_idx: Optional[jax.Array] = None,
+                          ddim_tables=None, uc_scale: Optional[float] = None,
+                          shared_noise: bool = True):
+        """Encode the (unchanged) encoder view, apply the manipulation GCN
+        for the changed/added nodes, decode boxes/angles — and, with
+        ``gen_shape``, regenerate SDFs for the (packed) real slots with DDIM
+        conditioned on the post-manipulation relation tokens — exactly the
+        reference's eval path for --manipulation modes."""
+        cfg = self.cfg
+        uc_scale = cfg.diffusion.uc_scale if uc_scale is None else uc_scale
+        tables = ddim_tables if ddim_tables is not None else self.ddim_tables
+        k_layout, k_noise = jax.random.split(key)
+
+        layout_out = self.layout.apply(
+            variables["layout"], batch.enc, batch.dec, batch.node_new,
+            batch.node_changed, k_layout, train=False)
+
+        gen_sdf = None
+        if gen_shape:
+            c_rel = layout_out["c_rel"]
+            uc_rel = layout_out["uc_rel"]
+            if c_rel is None:
+                c_rel = uc_rel
+            gen_sdf = self._gen_shapes(variables, uc_rel, c_rel, k_noise,
+                                       shape_slot_idx, tables, uc_scale,
+                                       shared_noise)
+        return {"boxes": layout_out["boxes"], "angles": layout_out["angles"],
+                "sdf": gen_sdf, "keep": batch.keep_mask.reshape(-1)}
 
     # ------------------------------------------------------------------
     # train-set latent statistics (reference collect_train_statistics,

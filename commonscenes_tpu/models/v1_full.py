@@ -218,19 +218,70 @@ class V1FullVAE(nn.Module):
                 "angles": angles, "shapes": shapes}
 
 
+def pseudo_shape_codes(objs_flat: np.ndarray, dim: int = 256) -> np.ndarray:
+    """Deterministic per-class stand-in DeepSDF codes for environments
+    without the DEEPSDF_reconstruction download (reference VAE.py:38-46
+    reads real codes from disk). Same class → same code."""
+    objs_flat = np.asarray(objs_flat).reshape(-1)
+    codes = np.zeros((len(objs_flat), dim), np.float32)
+    for i, c in enumerate(objs_flat):
+        r = np.random.RandomState(int(c) + 7919)
+        codes[i] = r.randn(dim).astype(np.float32) * 0.1
+    return codes
+
+
 class ShapeRetrieval:
     """Nearest-latent mesh retrieval (reference model/VAE.py:29-46,296-319):
-    a database of DeepSDF codes per fine-grained model id; queries return
-    the id of the closest code."""
+    a database of DeepSDF codes per model id; queries return the id of the
+    closest code by squared L2 (reference get_closest_vec). Candidates can
+    be restricted per object class like the reference's
+    ``box_data[class_name]`` lookup."""
 
-    def __init__(self, codes: Dict[str, np.ndarray]):
-        self.ids = list(codes.keys())
-        self.matrix = np.stack([codes[i] for i in self.ids]) if codes else \
-            np.zeros((0, 256), np.float32)
+    def __init__(self, codes: Dict[str, np.ndarray],
+                 class_to_ids: Optional[Dict[str, list]] = None):
+        self.codes = {k: np.asarray(v, np.float32) for k, v in codes.items()}
+        self.ids = list(self.codes.keys())
+        self.matrix = np.stack([self.codes[i] for i in self.ids]) if codes \
+            else np.zeros((0, 256), np.float32)
+        self.class_to_ids = class_to_ids or {}
 
-    def lookup(self, query_codes: np.ndarray) -> list:
-        if len(self.ids) == 0:
-            return [None] * len(query_codes)
-        d = ((query_codes[:, None, :] - self.matrix[None]) ** 2).sum(-1)
-        idx = d.argmin(1)
-        return [self.ids[i] for i in idx]
+    def lookup(self, query_codes: np.ndarray,
+               class_names: Optional[list] = None) -> list:
+        """query_codes [Q, 256] (+ optional per-query class names) → list of
+        nearest model ids (None when no candidates exist)."""
+        out = []
+        for qi, q in enumerate(np.asarray(query_codes, np.float32)):
+            cname = class_names[qi] if class_names is not None else None
+            if cname is not None and cname in self.class_to_ids:
+                cand = [i for i in self.class_to_ids[cname] if i in self.codes]
+            else:
+                cand = self.ids
+            if not cand:
+                out.append(None)
+                continue
+            mat = np.stack([self.codes[i] for i in cand])
+            d = np.sum((mat - q[None]) ** 2, axis=-1)
+            out.append(cand[int(np.argmin(d))])
+        return out
+
+    @classmethod
+    def from_deepsdf_dir(cls, root: str):
+        """Build from a reference-style DEEPSDF_reconstruction tree
+        (model/VAE.py:29-46: Codes/<id>.pth or .npy per model)."""
+        import glob
+        import os
+        codes: Dict[str, np.ndarray] = {}
+        code_dir = os.path.join(root, "Codes")
+        for f in glob.glob(os.path.join(code_dir, "*")):
+            mid = os.path.splitext(os.path.basename(f))[0]
+            if f.endswith(".npy"):
+                codes[mid] = np.load(f).reshape(-1)[:256].astype(np.float32)
+            elif f.endswith((".pth", ".pt")):
+                try:
+                    import torch
+                    codes[mid] = (torch.load(f, map_location="cpu")
+                                  .detach().numpy().reshape(-1)[:256]
+                                  .astype(np.float32))
+                except Exception:
+                    continue
+        return cls(codes)
