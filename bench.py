@@ -86,9 +86,16 @@ def main():
     mean_est = jnp.zeros((dz,))
     cov_chol = jnp.eye(dz) * 0.5
 
+    # the SAME program the eval CLI runs: shape generation packed to the
+    # real furniture slots (skips padded/root slots), eval/sampling.pack_slots
+    from commonscenes_tpu.eval.sampling import pack_slots
+    slots, n_real = pack_slots(batch.dec.objs, batch.dec.obj_mask,
+                               vocab.scene_class_id, bucket=8)
+    slots_j = jnp.asarray(slots)
+
     def sample_fn(variables, dec, key):
         out = model.sample(variables, dec, mean_est, cov_chol, key,
-                           gen_shape=True)
+                           gen_shape=True, shape_slot_idx=slots_j)
         return out["boxes"], out["angles"], out["sdf"]
 
     jitted = jax.jit(sample_fn)
@@ -100,7 +107,7 @@ def main():
     print("compile done", file=sys.stderr, flush=True)
     from commonscenes_tpu.utils.flops import sample_flops
     flops = sample_flops(cfg.unet, cfg.vqvae,
-                         num_objs=scenes_per_batch * cfg.batch.max_objs,
+                         num_objs=int(slots.shape[0]),
                          ddim_steps=cfg.diffusion.ddim_steps)
 
     # warmup
@@ -117,6 +124,37 @@ def main():
     scenes_done = iters * scenes_per_batch
     scenes_per_sec = scenes_done / dt
     steps_per_sec = iters * cfg.diffusion.ddim_steps / dt
+
+    # batched multi-scene eval pipeline (BASELINE config #5): B scenes per
+    # jitted call, slots packed across the batch. BENCH_EVAL_SCENES=0 skips.
+    eval_scenes_per_sec = None
+    eval_batch = int(os.environ.get("BENCH_EVAL_SCENES", "2"))
+    if eval_batch > 1:
+        cfg_b = cfg.replace(batch=cfg.batch.__class__(
+            batch_size=eval_batch, max_objs=objs_per_scene + 1,
+            max_triples=96, diffusion_bs=4, sdf_res=64))
+        scenes_b = [make_scene(vocab, rng, num_objs=objs_per_scene,
+                               sdf_res=64) for _ in range(eval_batch)]
+        batch_b = collate(scenes_b, vocab, cfg_b.batch, rng, with_shapes=True)
+        slots_b, _ = pack_slots(batch_b.dec.objs, batch_b.dec.obj_mask,
+                                vocab.scene_class_id, bucket=8)
+        slots_bj = jnp.asarray(slots_b)
+
+        def sample_b(variables, dec, key):
+            out = model.sample(variables, dec, mean_est, cov_chol, key,
+                               gen_shape=True, shape_slot_idx=slots_bj)
+            return out["boxes"], out["angles"], out["sdf"]
+
+        jit_b = jax.jit(sample_b)
+        print(f"compiling batched eval (B={eval_batch})...", file=sys.stderr,
+              flush=True)
+        o = jit_b(variables, batch_b.dec, jax.random.PRNGKey(1))
+        jax.block_until_ready(o)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            o = jit_b(variables, batch_b.dec, jax.random.PRNGKey(5 + i))
+        jax.block_until_ready(o)
+        eval_scenes_per_sec = iters * eval_batch / (time.perf_counter() - t0)
 
     # optional: training-step throughput (BENCH_TRAIN=1)
     train_scenes_per_sec = None
@@ -148,6 +186,9 @@ def main():
             "achieved_tflops": round(achieved_flops / 1e12, 1),
             "mfu_vs_v5e_peak": round(achieved_flops / TPU_V5E_PEAK_BF16, 3),
             "v5e8_projection_scenes_per_sec": round(scenes_per_sec * 8, 4),
+            "eval_scenes_per_sec_batched": (round(eval_scenes_per_sec, 5)
+                                            if eval_scenes_per_sec else None),
+            "eval_batch": eval_batch,
             "baseline_model": "A100 TF32 conv3d @ 25 TFLOPS effective",
             "train_scenes_per_sec": (round(train_scenes_per_sec, 2)
                                      if train_scenes_per_sec else None),

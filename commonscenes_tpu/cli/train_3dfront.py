@@ -71,6 +71,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="synthetic dataset size")
     p.add_argument("--seed", type=int, default=111)
     p.add_argument("--bf16", type=bool_flag, default=True)
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="host-side batch prefetch depth (0 = synchronous)")
+    p.add_argument("--vis_every", type=int, default=1000,
+                   help="render generated-vs-GT shapes every N steps "
+                        "(v2_full only; 0 = off; reference "
+                        "train_3dfront.py:442-446)")
     return p
 
 
@@ -220,18 +226,41 @@ def main(argv=None):
 
         counter = int(state.step)
         skipped_batches = 0
+
+        visualizer = None
+        if args.vis_every and with_shapes and not v1_full:
+            from commonscenes_tpu.utils.observability import SampleVisualizer
+            visualizer = SampleVisualizer(
+                model, args.exp, vocab.scene_class_id,
+                box_mean=getattr(dataset, "box_mean", None),
+                box_std=getattr(dataset, "box_std", None))
+
+        def _skip(i, e):
+            nonlocal skipped_batches
+            skipped_batches += 1
+            print(f"[!] skipping bad batch #{i}: {e!r} "
+                  f"({skipped_batches} skipped so far)")
+
         for epoch in range(start_epoch, args.nepoch):
             t0 = time.time()
-            for i in range(steps):
-                # bad-batch skip guard (reference train_3dfront.py:276-283:
-                # malformed scenes / h5 read errors must not kill a long run)
-                try:
-                    raw_batch = next_batch(rng)
-                except Exception as e:  # noqa: BLE001 — data errors only
-                    skipped_batches += 1
-                    print(f"[!] skipping bad batch at step {counter}: {e!r} "
-                          f"({skipped_batches} skipped so far)")
-                    continue
+            if args.prefetch > 0:
+                # overlap h5/pkl reads + padding with device compute
+                # (reference hides this behind DataLoader workers,
+                # train_3dfront.py:197-204)
+                from commonscenes_tpu.data.prefetch import BatchPrefetcher
+                batches = BatchPrefetcher(lambda i: next_batch(rng), steps,
+                                          depth=args.prefetch, on_error=_skip)
+            else:
+                def _sync_gen():
+                    for i in range(steps):
+                        # bad-batch guard (reference train_3dfront.py:276-283)
+                        try:
+                            yield next_batch(rng)
+                        except Exception as e:  # noqa: BLE001
+                            _skip(i, e)
+                batches = _sync_gen()
+
+            for raw_batch in batches:
                 batch = shard_batch(mesh, raw_batch)
                 key, sub = jax.random.split(key)
                 if v1_full:
@@ -246,6 +275,17 @@ def main(argv=None):
                     print(msg)
                     loss_log.write(msg + "\n")
                     loss_log.flush()
+                if visualizer is not None and counter % args.vis_every == 0:
+                    variables = {
+                        "layout": {"params": state.gen_params["layout"],
+                                   "batch_stats": state.gen_stats["layout"]},
+                        "df": {"params": state.gen_params["df"]},
+                        "vqvae": {"params": state.vqvae_params},
+                    }
+                    key, kv = jax.random.split(key)
+                    p = visualizer(variables, batch, kv, counter)
+                    if p:
+                        print(f"[*] wrote sample visuals: {p}")
             dt = time.time() - t0
             print(f"[*] epoch {epoch} done in {dt:.1f}s "
                   f"({steps * cfg.batch.batch_size / dt:.2f} scenes/s)")
