@@ -222,7 +222,10 @@ def main(argv=None):
         steps = args.steps_per_epoch or max(1, len(dataset) // cfg.batch.batch_size)
         log_path = os.path.join(args.exp, args.logf)
         os.makedirs(log_path, exist_ok=True)
-        loss_log = open(os.path.join(log_path, "loss_log.txt"), "a")
+        # scalar observability: loss_log.txt + metrics.jsonl + TB when
+        # available (reference Visualizer, diff_utils/visualizer.py:80-138)
+        from commonscenes_tpu.utils.observability import MetricLogger
+        logger = MetricLogger(log_path)
 
         counter = int(state.step)
         skipped_batches = 0
@@ -270,11 +273,11 @@ def main(argv=None):
                     state, metrics = trainer.train_step(state, batch, sub)
                 counter += 1
                 if counter % 100 == 0:
-                    msg = f"epoch {epoch} step {counter}: " + " ".join(
-                        f"{k}={float(v):.4f}" for k, v in sorted(metrics.items()))
-                    print(msg)
-                    loss_log.write(msg + "\n")
-                    loss_log.flush()
+                    m = {k: float(v) for k, v in metrics.items()}
+                    logger.log(counter, m)
+                    logger.message(
+                        f"epoch {epoch} step {counter}: " + " ".join(
+                            f"{k}={v:.4f}" for k, v in sorted(m.items())))
                 if visualizer is not None and counter % args.vis_every == 0:
                     variables = {
                         "layout": {"params": state.gen_params["layout"],
@@ -301,7 +304,7 @@ def main(argv=None):
                     save_checkpoint(os.path.join(ckpt_dir, f"model_{epoch}"),
                                     jax.device_get(state), epoch=epoch)
                 print(f"[*] saved model_{epoch}")
-        loss_log.close()
+        logger.close()
 
 
 if __name__ == "__main__":

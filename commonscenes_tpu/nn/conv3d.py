@@ -81,8 +81,31 @@ class Conv3D(nn.Module):
             pads = tuple(tuple(p) for p in self.padding)
 
         dt = self.dtype or x.dtype
-        y = conv3d_2dsum(x.astype(dt), kernel.astype(dt), self.strides, pads)
+        y = conv3d(x.astype(dt), kernel.astype(dt), self.strides, pads)
         y = y.astype(dt)
         if bias is not None:
             y = y + bias.astype(dt)
         return y
+
+
+def conv3d(x: jax.Array, kernel: jax.Array,
+           strides: Tuple[int, int, int] = (1, 1, 1),
+           padding: Tuple[Tuple[int, int], ...] = ((1, 1), (1, 1), (1, 1))
+           ) -> jax.Array:
+    """Shape-dispatched 3D conv.
+
+    Measured on v5e (chained-timing, 30 iters, bf16):
+      16³×224ch:  2dsum 78 TFLOP/s vs direct rank-3 74  → 2dsum
+      16×8²×448:  2dsum 70        vs direct        89  → direct
+      16×4²×672:  2dsum 55        vs direct        67  → direct
+    The 2D-sum lowering wins when the per-image spatial plane is large
+    enough to tile the MXU (H·W ≥ 256); below that the extra depth-tap
+    dispatches dominate and XLA's native rank-3 conv is faster.
+    """
+    H, W = x.shape[2], x.shape[3]
+    if H * W >= 256:
+        return conv3d_2dsum(x, kernel, strides, padding)
+    y = jax.lax.conv_general_dilated(
+        x, kernel, strides, list(padding),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    return y.astype(x.dtype)

@@ -25,9 +25,17 @@ import jax
 import jax.numpy as jnp
 
 
-def _pick_tile(S: int) -> int:
+_VMEM_BUDGET = 8 * 1024 * 1024  # bytes for the apply tile's live buffers
+
+
+def _pick_tile(S: int, C: int) -> int:
+    """Largest tile dividing S whose apply-kernel footprint fits VMEM.
+
+    Per element the apply kernel keeps ~16 B live (bf16 in/out tiles + fp32
+    x, x·x / y intermediates); the scoped limit is 16 MB, budget half.
+    """
     ts = min(S, 1024)
-    while S % ts:
+    while ts > 8 and (S % ts or ts * C * 16 > _VMEM_BUDGET):
         ts //= 2
     return max(ts, 8)
 
@@ -87,7 +95,7 @@ def _fused_impl(x: jax.Array, scale: jax.Array, bias: jax.Array,
     for d in orig_shape[1:-1]:
         S *= d
     xr = x.reshape(B, S, C)
-    Ts = _pick_tile(S)
+    Ts = _pick_tile(S, C)
 
     cg = C // groups
     ghot = jnp.repeat(jnp.eye(groups, dtype=jnp.float32), cg, axis=0)  # [C, G]
@@ -178,11 +186,10 @@ def fused_supported(x_shape, groups: int) -> bool:
     S = 1
     for d in x_shape[1:-1]:
         S *= d
-    ts = _pick_tile(S)
+    ts = _pick_tile(S, C)
     if S % ts:
         return False
-    # VMEM: fp32 working tile + bf16 in/out tiles
-    return ts * C * 4 * 2 < 12 * 1024 * 1024 and S >= 8 and C >= 128
+    return ts * C * 16 <= _VMEM_BUDGET and S >= 8 and C >= 128
 
 
 def on_tpu() -> bool:
