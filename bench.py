@@ -106,9 +106,15 @@ def main():
     jitted.lower(variables, batch.dec, jax.random.PRNGKey(1)).compile()
     print("compile done", file=sys.stderr, flush=True)
     from commonscenes_tpu.utils.flops import sample_flops
+    # naive-CFG count = the reference's program (baseline denominator);
+    # dedup count = FLOPs actually executed (MFU numerator)
     flops = sample_flops(cfg.unet, cfg.vqvae,
                          num_objs=int(slots.shape[0]),
                          ddim_steps=cfg.diffusion.ddim_steps)
+    flops_exec = sample_flops(cfg.unet, cfg.vqvae,
+                              num_objs=int(slots.shape[0]),
+                              ddim_steps=cfg.diffusion.ddim_steps,
+                              cfg_dedup=True)
 
     def fetch(out):
         # host-fetch a scalar that depends on the last-produced buffer: over
@@ -181,7 +187,7 @@ def main():
 
     baseline_scenes_per_sec = A100_EFFECTIVE_FLOPS / (flops / scenes_per_batch)
     vs_baseline = scenes_per_sec / baseline_scenes_per_sec
-    achieved_flops = flops * iters / dt
+    achieved_flops = flops_exec * iters / dt
 
     print(json.dumps({
         "metric": "scenes/sec/chip (v2_full DDIM-100 CFG, 8 objs/scene)",

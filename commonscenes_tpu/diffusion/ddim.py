@@ -25,12 +25,17 @@ from commonscenes_tpu.diffusion.schedule import DDIMTables
 def ddim_sample(denoise_fn: Callable, tables: DDIMTables, x_T: jax.Array,
                 cond: jax.Array, uncond: Optional[jax.Array] = None,
                 uc_scale: float = 1.0, eta_noise_key: Optional[jax.Array] = None,
-                temperature: float = 1.0) -> jax.Array:
+                temperature: float = 1.0,
+                cfg_fn: Optional[Callable] = None) -> jax.Array:
     """Run the full DDIM chain from x_T.
 
     denoise_fn(x, t, c) → ε̂ with x [B, ...], t [B] int32, c [B, ...].
     CFG runs uncond+cond through one 2B-batched call exactly like the
     reference; with uncond=None or uc_scale==1 a single call is used.
+
+    ``cfg_fn(x, t, cond_full) → ε̂ [2B, ...]`` is the optional CFG-deduped
+    denoiser (x/t at batch B, cond_full = [uncond ‖ cond]): the UNet shares
+    the context-free prefix between the halves (nn/unet3d.py cfg_pair).
     """
     steps = jnp.asarray(tables.timesteps)            # [S] ascending
     alphas = jnp.asarray(tables.alphas)
@@ -53,9 +58,12 @@ def ddim_sample(denoise_fn: Callable, tables: DDIMTables, x_T: jax.Array,
         t = jnp.full((B,), steps[i], dtype=jnp.int32)
 
         if use_cfg:
-            x_in = jnp.concatenate([x, x], axis=0)
-            t_in = jnp.concatenate([t, t], axis=0)
-            e_both = denoise_fn(x_in, t_in, cond_full)
+            if cfg_fn is not None:
+                e_both = cfg_fn(x, t, cond_full)
+            else:
+                x_in = jnp.concatenate([x, x], axis=0)
+                t_in = jnp.concatenate([t, t], axis=0)
+                e_both = denoise_fn(x_in, t_in, cond_full)
             e_uc, e_c = jnp.split(e_both, 2, axis=0)
             e_t = e_uc + uc_scale * (e_c - e_uc)
         else:

@@ -245,8 +245,16 @@ class CommonScenesV2Full:
         def denoise_fn(x, t, c):
             return self.denoiser.apply(variables["df"], x, t, c)
 
+        cfg_fn = None
+        if cfg.diffusion.conditioning_key == "crossattn":
+            # CFG-deduped forward: the uncond/cond halves share the
+            # context-free UNet prefix (nn/unet3d.py cfg_pair)
+            def cfg_fn(x, t, c_full):  # noqa: F811
+                return self.denoiser.apply(variables["df"], x, t, c_full,
+                                           cfg_pair=True)
+
         samples = ddim_sample(denoise_fn, tables, x_T, c_in, uc_in,
-                              uc_scale=uc_scale)
+                              uc_scale=uc_scale, cfg_fn=cfg_fn)
         gen_sdf = self.vqvae.apply(variables["vqvae"], samples,
                                    method=VQVAE3D.decode_no_quant)
         if shape_mask is not None:

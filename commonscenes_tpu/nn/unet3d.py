@@ -108,7 +108,16 @@ class UpsampleHW(nn.Module):
 
 
 class UNet3D(nn.Module):
-    """The denoiser ε̂(x_t, t, context). Input/output [B, D, H, W, C]."""
+    """The denoiser ε̂(x_t, t, context). Input/output [B, D, H, W, C].
+
+    ``cfg_pair=True`` is the inference-time classifier-free-guidance path:
+    ``x``/``timesteps`` have batch K while ``context`` is the 2K stack
+    [uncond ‖ cond]. Both CFG halves share identical x and t, so every
+    block BEFORE the first cross-attention is computed once at batch K and
+    only then duplicated — identical math to the naive 2K batch (the
+    reference always runs the doubled batch, samplers/ddim.py:205-210), at
+    ~⅔ of the encoder conv cost.
+    """
 
     cfg: UNetConfig
     dtype: Optional[jnp.dtype] = None
@@ -116,7 +125,8 @@ class UNet3D(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, timesteps: jax.Array,
                  context: Optional[jax.Array] = None,
-                 deterministic: bool = True) -> jax.Array:
+                 deterministic: bool = True,
+                 cfg_pair: bool = False) -> jax.Array:
         cfg = self.cfg
         mc = cfg.model_channels
         time_dim = mc * 4
@@ -126,6 +136,13 @@ class UNet3D(nn.Module):
             self.dtype or jnp.float32))
         emb = nn.silu(emb)
         emb = nn.Dense(time_dim, dtype=self.dtype, name="time_1")(emb)
+
+        # lazy CFG duplication state: everything is context-free (shared by
+        # the uncond/cond halves) until the first spatial transformer
+        doubled = not cfg_pair
+
+        def tile2(a):
+            return jnp.concatenate([a, a], axis=0)
 
         def attn_layer(ch: int, name: str):
             heads = cfg.num_heads
@@ -145,6 +162,11 @@ class UNet3D(nn.Module):
                 h = ResBlock3D(ch, cfg.dropout, dtype=self.dtype,
                                name=f"down_res_{block}")(h, emb, deterministic)
                 if ds in cfg.attention_resolutions:
+                    if not doubled:
+                        h = tile2(h)
+                        hs = [tile2(s) for s in hs]
+                        emb = tile2(emb)
+                        doubled = True
                     h = attn_layer(ch, f"down_attn_{block}")(h, context)
                 hs.append(h)
                 block += 1
@@ -157,6 +179,11 @@ class UNet3D(nn.Module):
         ch = mc * cfg.channel_mult[-1]
         h = ResBlock3D(ch, cfg.dropout, dtype=self.dtype,
                        name="mid_res_0")(h, emb, deterministic)
+        if not doubled:
+            h = tile2(h)
+            hs = [tile2(s) for s in hs]
+            emb = tile2(emb)
+            doubled = True
         h = attn_layer(ch, "mid_attn")(h, context)
         h = ResBlock3D(ch, cfg.dropout, dtype=self.dtype,
                        name="mid_res_1")(h, emb, deterministic)
@@ -196,10 +223,14 @@ class ConditionedDenoiser(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, timesteps: jax.Array,
                  cond: Optional[jax.Array] = None,
-                 deterministic: bool = True) -> jax.Array:
+                 deterministic: bool = True,
+                 cfg_pair: bool = False) -> jax.Array:
         if self.conditioning_key == "crossattn":
-            ctx = cond  # [B, M, context_dim]
+            ctx = cond  # [B, M, context_dim] (or [2B, ...] when cfg_pair)
             unet_in = x
+            if cfg_pair:
+                return UNet3D(self.cfg, dtype=self.dtype, name="unet")(
+                    unet_in, timesteps, ctx, deterministic, cfg_pair=True)
         elif self.conditioning_key == "concat":
             B, D, H, W, _ = x.shape
             grid = cond.reshape(B, -1, D, H, W)

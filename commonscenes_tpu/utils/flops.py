@@ -17,13 +17,29 @@ def _conv_flops(vox: int, cin: int, cout: int, k: int = 27) -> float:
     return 2.0 * vox * k * cin * cout
 
 
-def unet_forward_flops(cfg: UNetConfig, batch: int) -> float:
+def unet_forward_flops(cfg: UNetConfig, batch: int,
+                       cfg_pair_base: int = 0) -> float:
     """One denoiser forward at [batch, S, S, S, in_channels] where S =
     cfg.image_size; H/W halve per level, depth stays (reference
-    openai_model_3d.py:150-158)."""
+    openai_model_3d.py:150-158).
+
+    ``cfg_pair_base > 0``: account the CFG-deduped forward (nn/unet3d.py
+    cfg_pair) — blocks before the first attention run at ``cfg_pair_base``
+    (K) while everything after runs at ``batch`` (2K).
+    """
     S = cfg.image_size
     mc = cfg.model_channels
     total = 0.0
+    # multiplier bookkeeping for the deduped prefix
+    state = {"doubled": cfg_pair_base == 0}
+
+    def scale() -> float:
+        if state["doubled"]:
+            return 1.0
+        return cfg_pair_base / float(batch)
+
+    def mark_doubled():
+        state["doubled"] = True
 
     def res_block(vox, cin, cout):
         f = _conv_flops(vox, cin, cout) + _conv_flops(vox, cout, cout)
@@ -50,25 +66,28 @@ def unet_forward_flops(cfg: UNetConfig, batch: int) -> float:
 
     vox = S * S * S
     ch = mc
-    total += _conv_flops(vox, cfg.in_channels, mc)
+    total += _conv_flops(vox, cfg.in_channels, mc) * scale()
     ds = 1
     skips = [(vox, mc)]
     # encoder
     for level, mult in enumerate(cfg.channel_mult):
         cout = mc * mult
         for _ in range(cfg.num_res_blocks):
-            total += res_block(vox, ch, cout)
+            total += res_block(vox, ch, cout) * scale()
             ch = cout
             if ds in cfg.attention_resolutions:
+                mark_doubled()
                 total += attn_block(vox, ch)
             skips.append((vox, ch))
         if level != len(cfg.channel_mult) - 1:
-            total += _conv_flops(vox // 4, ch, ch)  # strided (1,2,2)
+            total += _conv_flops(vox // 4, ch, ch) * scale()  # strided (1,2,2)
             vox //= 4
             ds *= 2
             skips.append((vox, ch))
     # middle
-    total += res_block(vox, ch, ch) * 2 + attn_block(vox, ch)
+    total += res_block(vox, ch, ch) * scale()
+    mark_doubled()
+    total += res_block(vox, ch, ch) + attn_block(vox, ch)
     # decoder
     for level, mult in reversed(list(enumerate(cfg.channel_mult))):
         cout = mc * mult
@@ -117,8 +136,14 @@ def vqvae_decode_flops(cfg: VQVAEConfig, batch: int) -> float:
 
 
 def sample_flops(unet_cfg: UNetConfig, vq_cfg: VQVAEConfig, num_objs: int,
-                 ddim_steps: int, cfg_scale_batched: bool = True) -> float:
-    """FLOPs to generate shapes for one scene's objects with DDIM + CFG."""
+                 ddim_steps: int, cfg_scale_batched: bool = True,
+                 cfg_dedup: bool = False) -> float:
+    """FLOPs to generate shapes for one scene's objects with DDIM + CFG.
+
+    ``cfg_dedup=True`` counts the ACTUAL executed FLOPs of the CFG-deduped
+    forward (shared context-free prefix); False counts the reference's naive
+    2×-batched program (the right denominator for the A100 baseline)."""
     b = num_objs * (2 if cfg_scale_batched else 1)
-    return (ddim_steps * unet_forward_flops(unet_cfg, b)
+    base = num_objs if (cfg_dedup and cfg_scale_batched) else 0
+    return (ddim_steps * unet_forward_flops(unet_cfg, b, cfg_pair_base=base)
             + vqvae_decode_flops(vq_cfg, num_objs))

@@ -1,0 +1,51 @@
+"""End-to-end eval CLI regression: batched generation + manipulation modes
+against a synthetic v2_box experiment (random init — exercises args.json
+restore, per-split stats, latent statistics, packing, SCA accumulation and
+exports)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def exp_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("exp_v2box")
+    with open(os.path.join(str(d), "args.json"), "w") as f:
+        json.dump({"network_type": "v2_box", "with_SDF": False,
+                   "with_CLIP": True, "outf": "checkpoint", "bf16": False,
+                   "max_objs": 10, "max_triples": 48}, f)
+    return str(d)
+
+
+def test_eval_generation_batched(exp_dir, tmp_path):
+    from commonscenes_tpu.cli.eval_3dfront import main
+    out = str(tmp_path / "gen")
+    s = main(["--exp", exp_dir, "--epoch", "0", "--dataset", "synthetic",
+              "--num_scenes", "4", "--eval_batch", "2",
+              "--export_dir", out])
+    assert s["network_type"] == "v2_box"
+    assert np.isfinite(s["scenes_per_sec"]) and s["scenes_per_sec"] > 0
+    assert "total" in s
+    with open(os.path.join(out, "layouts.json")) as f:
+        layouts = json.load(f)
+    assert len(layouts) == 4
+    for rec in layouts:
+        assert len(rec["boxes"]) == len(rec["objs"])
+        assert np.isfinite(np.asarray(rec["boxes"])).all()
+    # stats pickle cached for reuse
+    assert os.path.exists(os.path.join(exp_dir, "model_stats_0.pkl"))
+
+
+def test_eval_manipulation_mode(exp_dir):
+    from commonscenes_tpu.cli.eval_3dfront import main
+    s = main(["--exp", exp_dir, "--epoch", "0", "--dataset", "synthetic",
+              "--num_scenes", "2", "--eval_batch", "2",
+              "--manipulation", "relationship"])
+    # changes-mode SCA only scores triples touching changed nodes; with a
+    # random-init model the rates exist (possibly 0.0) and are not NaN for
+    # the 'total' row when any changed triples were scored
+    assert "total" in s
+    assert s["network_type"] == "v2_box"

@@ -85,3 +85,33 @@ def test_cross_attention_context_changes_output():
     o1 = model.apply(params, x, t, c1)
     o2 = model.apply(params, x, t, c2)
     assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_cfg_pair_matches_naive_doubled_batch():
+    """The CFG-deduped forward (shared context-free prefix, cfg_pair=True)
+    must equal running the naive 2K batch exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from commonscenes_tpu.core.config import UNetConfig
+    from commonscenes_tpu.nn.unet3d import UNet3D
+
+    cfg = UNetConfig(image_size=8, in_channels=3, out_channels=3,
+                     model_channels=32, num_res_blocks=1,
+                     attention_resolutions=(2,), channel_mult=(1, 2),
+                     num_heads=4, context_dim=16, use_checkpoint=False)
+    m = UNet3D(cfg)
+    rng = np.random.RandomState(0)
+    K = 3
+    x = jnp.asarray(rng.randn(K, 8, 8, 8, 3), jnp.float32)
+    t = jnp.asarray([5, 9, 13], jnp.int32)
+    uncond = jnp.asarray(rng.randn(K, 2, 16), jnp.float32)
+    cond = jnp.asarray(rng.randn(K, 2, 16), jnp.float32)
+    c_full = jnp.concatenate([uncond, cond], axis=0)
+
+    v = m.init(jax.random.PRNGKey(0), x, t, cond)
+    naive = m.apply(v, jnp.concatenate([x, x], 0),
+                    jnp.concatenate([t, t], 0), c_full)
+    dedup = m.apply(v, x, t, c_full, cfg_pair=True)
+    np.testing.assert_allclose(np.asarray(dedup), np.asarray(naive),
+                               rtol=1e-5, atol=1e-6)
