@@ -52,6 +52,8 @@ def build_parser():
                    choices=["none", "relationship", "addition"])
     p.add_argument("--export_dir", default="")
     p.add_argument("--seed", type=int, default=47)
+    p.add_argument("--sampler", default="ddim", choices=["ddim", "plms"],
+                   help="shape sampler (the reference ships PLMS unwired)")
     # TPU-native batching knobs
     p.add_argument("--eval_batch", type=int, default=4,
                    help="scenes per jitted sampling call")
@@ -301,13 +303,15 @@ def main(argv=None):
         @partial(jax.jit, static_argnames=("gen",))
         def sample_fn(dec, k, slots, gen):
             return model.sample(variables, dec, mean_j, chol_j, k,
-                                gen_shape=gen, shape_slot_idx=slots)
+                                gen_shape=gen, shape_slot_idx=slots,
+                                sampler=args.sampler)
 
         @partial(jax.jit, static_argnames=("gen",))
         def manip_fn(batch, k, slots, gen):
             return model.manipulate_sample(variables, batch, k,
                                            gen_shape=gen,
-                                           shape_slot_idx=slots)
+                                           shape_slot_idx=slots,
+                                           sampler=args.sampler)
     else:
         from commonscenes_tpu.models.v1_full import V1FullVAE as _V1
 

@@ -177,7 +177,8 @@ class CommonScenesV2Full:
                gen_shape: bool = True, shape_mask: Optional[jax.Array] = None,
                ddim_tables=None, uc_scale: Optional[float] = None,
                shared_noise: bool = True,
-               shape_slot_idx: Optional[jax.Array] = None):
+               shape_slot_idx: Optional[jax.Array] = None,
+               sampler: str = "ddim"):
         """Generate boxes/angles (+ SDF grids) for a decoder-view batch.
 
         mean_est [Dz] / cov_chol [Dz, Dz] are the train-set latent statistics
@@ -215,15 +216,18 @@ class CommonScenesV2Full:
         if gen_shape:
             gen_sdf = self._gen_shapes(variables, uc_rel, c_rel, k_noise,
                                        shape_slot_idx, tables, uc_scale,
-                                       shared_noise, shape_mask)
+                                       shared_noise, shape_mask,
+                                       sampler=sampler)
 
         return {"boxes": boxes, "angles": angles, "sdf": gen_sdf, "z": z}
 
     def _gen_shapes(self, variables, uc_rel, c_rel, k_noise,
                     shape_slot_idx, tables, uc_scale, shared_noise,
-                    shape_mask=None):
-        """DDIM chain + VQ-VAE decode over (optionally slot-packed) relation
-        tokens (reference rel2shape, sdfusion_txt2shape_model.py:460-516)."""
+                    shape_mask=None, sampler: str = "ddim"):
+        """DDIM (or PLMS) chain + VQ-VAE decode over (optionally slot-packed)
+        relation tokens (reference rel2shape,
+        sdfusion_txt2shape_model.py:460-516; the PLMS sampler ships in the
+        reference but is never wired into eval — here it's selectable)."""
         cfg = self.cfg
         if shape_slot_idx is not None:
             c_rel = jnp.take(c_rel, shape_slot_idx, axis=0)
@@ -245,16 +249,21 @@ class CommonScenesV2Full:
         def denoise_fn(x, t, c):
             return self.denoiser.apply(variables["df"], x, t, c)
 
-        cfg_fn = None
-        if cfg.diffusion.conditioning_key == "crossattn":
-            # CFG-deduped forward: the uncond/cond halves share the
-            # context-free UNet prefix (nn/unet3d.py cfg_pair)
-            def cfg_fn(x, t, c_full):  # noqa: F811
-                return self.denoiser.apply(variables["df"], x, t, c_full,
-                                           cfg_pair=True)
+        if sampler == "plms":
+            from commonscenes_tpu.diffusion.plms import plms_sample
+            samples = plms_sample(denoise_fn, tables, x_T, c_in, uc_in,
+                                  uc_scale=uc_scale)
+        else:
+            cfg_fn = None
+            if cfg.diffusion.conditioning_key == "crossattn":
+                # CFG-deduped forward: the uncond/cond halves share the
+                # context-free UNet prefix (nn/unet3d.py cfg_pair)
+                def cfg_fn(x, t, c_full):  # noqa: F811
+                    return self.denoiser.apply(variables["df"], x, t, c_full,
+                                               cfg_pair=True)
 
-        samples = ddim_sample(denoise_fn, tables, x_T, c_in, uc_in,
-                              uc_scale=uc_scale, cfg_fn=cfg_fn)
+            samples = ddim_sample(denoise_fn, tables, x_T, c_in, uc_in,
+                                  uc_scale=uc_scale, cfg_fn=cfg_fn)
         gen_sdf = self.vqvae.apply(variables["vqvae"], samples,
                                    method=VQVAE3D.decode_no_quant)
         if shape_mask is not None:
@@ -271,7 +280,7 @@ class CommonScenesV2Full:
                           key: jax.Array, gen_shape: bool = True,
                           shape_slot_idx: Optional[jax.Array] = None,
                           ddim_tables=None, uc_scale: Optional[float] = None,
-                          shared_noise: bool = True):
+                          shared_noise: bool = True, sampler: str = "ddim"):
         """Encode the (unchanged) encoder view, apply the manipulation GCN
         for the changed/added nodes, decode boxes/angles — and, with
         ``gen_shape``, regenerate SDFs for the (packed) real slots with DDIM
@@ -294,7 +303,7 @@ class CommonScenesV2Full:
                 c_rel = uc_rel
             gen_sdf = self._gen_shapes(variables, uc_rel, c_rel, k_noise,
                                        shape_slot_idx, tables, uc_scale,
-                                       shared_noise)
+                                       shared_noise, sampler=sampler)
         return {"boxes": layout_out["boxes"], "angles": layout_out["angles"],
                 "sdf": gen_sdf, "keep": batch.keep_mask.reshape(-1)}
 
