@@ -150,8 +150,15 @@ def main(argv=None):
             if hasattr(train_args, k):
                 setattr(train_args, k, v)
     else:
+        train_args_d = {}
         train_args = tp().parse_args([])
     cfg = build_config(train_args)
+    # imported reference checkpoints carry inferred layout dims that the
+    # flag surface can't express (cli/import_checkpoint.py writes them)
+    if isinstance(train_args_d.get("layout"), dict):
+        import dataclasses
+        cfg = cfg.replace(layout=dataclasses.replace(
+            cfg.layout, **train_args_d["layout"]))
     net_type = train_args.network_type
     v1_full = net_type == "v1_full"
     with_shapes = net_type == "v2_full"

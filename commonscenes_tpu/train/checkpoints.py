@@ -368,6 +368,50 @@ def import_reference_layout(torch_state_dict: Dict[str, Any],
     return params, stats
 
 
+def infer_reference_layout_hparams(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Recover the Sg2ScVAEModel hyperparameters from a merged reference
+    state dict (VAEGAN_V2FULL.py:22-174 construction rules), so a .pth can
+    be imported without knowing the original CLI flags.
+
+    Pooling 'sum' vs 'avg' is not recoverable from weights (same params) —
+    returned as 'avg' (the reference default); 'wAvg' is detected via
+    weightNet keys.
+    """
+    keys = set(sd.keys())
+    ed = sd["obj_embeddings_ec.weight"].shape[1]
+    num_obj = sd["obj_embeddings_ec.weight"].shape[0] - 1
+    num_pred = sd["pred_embeddings_ec.weight"].shape[0]
+    add = sd["mean_var.0.weight"].shape[1] - 2 * ed
+    gcn_layers = 1 + max(
+        (int(k.split(".")[2]) for k in keys
+         if k.startswith("gconv_net_ec_box.gconvs.")), default=0)
+    residual = any(".linear_projection." in k
+                   for k in keys if k.startswith("gconv_net_ec_box."))
+    pooling = "wAvg" if any(".weightNet." in k for k in keys) else "avg"
+    mlp_norm = "batch" if "mean_var.1.running_mean" in sd else "none"
+    use_angles = any(k.startswith("angle_net.") for k in keys)
+    decoder_cat = (sd["pred_embeddings_dc.weight"].shape[1] == 2 * ed)
+    use_e2 = any(k.startswith("gconv_net_ec_rel.") for k in keys)
+    rel_hidden, rel_out = 960, 1280
+    rel_linears = sorted((k for k in keys if k.startswith("rel_mlp.")
+                          and k.endswith(".weight")
+                          and sd[k].ndim == 2),
+                         key=lambda k: int(k.split(".")[1]))
+    if rel_linears:
+        rel_hidden = int(sd[rel_linears[0]].shape[0])
+        rel_out = int(sd[rel_linears[-1]].shape[0])
+    return {
+        "rel_hidden": rel_hidden, "rel_out": rel_out,
+        "embedding_dim": int(ed), "num_obj_classes": int(num_obj),
+        "num_pred_classes": int(num_pred), "clip_dim": int(add),
+        "use_clip": add > 0, "gconv_num_layers": int(gcn_layers),
+        "residual": bool(residual), "gconv_pooling": pooling,
+        "mlp_normalization": mlp_norm, "use_angles": bool(use_angles),
+        "decoder_cat": bool(decoder_cat), "use_e2": bool(use_e2),
+        "conditioning_key": "concat" if rel_out >= 4096 else "crossattn",
+    }
+
+
 def import_reference_v2full_checkpoint(merged_sd: Dict[str, Any],
                                        layout_params: Dict[str, Any],
                                        vqvae_params: Optional[Dict[str, Any]] = None,
