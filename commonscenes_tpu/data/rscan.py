@@ -42,19 +42,42 @@ class RScanDataset:
                            obj_classes_grained=sorted(set(classes + ["_scene_"])),
                            predicates=["in"] + rels)
 
+        # the reference's published filename conventions, in priority order
+        # (dataset/dataset.py:95-106: relationships_merged_{}_clean.json full
+        # scenes / relationships_{}_clean.json ≤9-object sections, and
+        # obj_boxes_{train,val}_refined.json)
         tag = "train" if split in ("train", "train_scans") else "validation"
-        fname = os.path.join(root, f"relationships_{tag}.json")
-        if not os.path.exists(fname):
-            fname = os.path.join(root, "relationships.json")
+        candidates = [
+            f"relationships_merged_{tag}_clean.json",
+            f"relationships_{tag}_clean.json",
+            f"relationships_{tag}.json",
+            "relationships.json",
+        ]
+        fname = next((os.path.join(root, c) for c in candidates
+                      if os.path.exists(os.path.join(root, c))),
+                     os.path.join(root, candidates[-1]))
         with open(fname) as f:
             data = json.load(f)
 
-        self.scans: List[dict] = list(data.get("scans", []))
-        boxes_path = os.path.join(root, "obj_boxes.json")
+        scans = list(data.get("scans", []))
+        # optional split list ({train,validation}.txt, dataset.py:87-91)
+        split_txt = os.path.join(root, f"{tag}.txt")
+        if os.path.exists(split_txt):
+            with open(split_txt) as f:
+                keep = {ln.strip() for ln in f if ln.strip()}
+            scans = [s for s in scans if s.get("scan") in keep]
+        self.scans: List[dict] = scans
+
+        box_tag = "train" if tag == "train" else "val"
+        box_candidates = [f"obj_boxes_{box_tag}_refined.json",
+                          "obj_boxes.json"]
         self.boxes: Dict[str, dict] = {}
-        if os.path.exists(boxes_path):
-            with open(boxes_path) as f:
-                self.boxes = json.load(f)
+        for c in box_candidates:
+            p = os.path.join(root, c)
+            if os.path.exists(p):
+                with open(p) as f:
+                    self.boxes = json.load(f)
+                break
 
     def __len__(self) -> int:
         return self.data_len if self.data_len is not None else len(self.scans)

@@ -221,3 +221,16 @@ def test_reader_test_split(sgfront_root):
     scene = ds[0]
     assert scene.scan_id == SCAN
     assert scene.sdfs is None
+
+
+@pytest.mark.fast
+def test_analyse_dataset_on_fixture(sgfront_root, tmp_path):
+    from commonscenes_tpu.cli.analyse_dataset import main
+    out = str(tmp_path / "stats.json")
+    stats = main(["--dataset", sgfront_root, "--room_type", "bedroom",
+                  "--num_scenes", "4", "--out", out])
+    assert os.path.exists(out)
+    assert stats["relationship_frequencies"]["in"] == 4
+    assert stats["relationship_frequencies"]["left"] == 1
+    assert stats["class_frequencies"]["bed"] == 1
+    assert stats["objs_per_scene"]["max"] == 5

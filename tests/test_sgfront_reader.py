@@ -102,3 +102,35 @@ def test_rscan_reader(tmp_path):
     scene = ds[0]
     assert scene.num_objs == 3  # 2 objects + scene root
     assert (scene.triples[:, 1] == 0).sum() == 2
+
+
+def test_rscan_reference_filenames(tmp_path):
+    """Reference 3RScan conventions (dataset/dataset.py:95-106):
+    relationships_merged_{split}_clean.json, obj_boxes_{train}_refined.json,
+    and the {split}.txt scan list."""
+    root = tmp_path / "rscan_ref"
+    root.mkdir()
+    (root / "classes.txt").write_text("chair\ntable\nwall\n")
+    (root / "relationships.txt").write_text("left\nright\nstanding on\n")
+    (root / "relationships_merged_train_clean.json").write_text(json.dumps({
+        "scans": [
+            {"scan": "scan-a", "objects": {"1": "chair", "2": "table"},
+             "relationships": [[1, 2, 1, "left"]]},
+            {"scan": "scan-b", "objects": {"1": "wall"},
+             "relationships": []},
+        ]}))
+    (root / "obj_boxes_train_refined.json").write_text(json.dumps({
+        "scan-a": {"1": {"param7": [1, 2, 3, 0.5, 0.6, 0.7, 0]},
+                   "2": {"param7": [2, 2, 2, 0, 0, 0, 0]}}}))
+    (root / "train.txt").write_text("scan-a\n")   # drop scan-b via the list
+
+    from commonscenes_tpu.data.rscan import RScanDataset
+    ds = RScanDataset(str(root), split="train")
+    assert len(ds) == 1
+    scene = ds[0]
+    assert scene.scan_id == "scan-a"
+    assert scene.num_objs == 3
+    chair_slot = int(np.where(scene.objs ==
+                              ds.vocab.class_to_idx["chair"])[0][0])
+    np.testing.assert_allclose(scene.boxes[chair_slot],
+                               [1, 2, 3, 0.5, 0.6, 0.7])
