@@ -264,11 +264,31 @@ class CommonScenesV2Full:
 
             samples = ddim_sample(denoise_fn, tables, x_T, c_in, uc_in,
                                   uc_scale=uc_scale, cfg_fn=cfg_fn)
-        gen_sdf = self.vqvae.apply(variables["vqvae"], samples,
-                                   method=VQVAE3D.decode_no_quant)
+        gen_sdf = self._decode_latents(variables, samples)
         if shape_mask is not None:
             gen_sdf = gen_sdf * shape_mask.reshape(-1, 1, 1, 1, 1)
         return gen_sdf
+
+    def _decode_latents(self, variables, samples: jax.Array,
+                        max_chunk: int = 16) -> jax.Array:
+        """First-stage decode [K, 16³, zc] → [K, 64³, 1], chunked when K is
+        large: decoding K×64³ grids at once holds multi-GB activation
+        buffers in HBM (the reference minibatches its DDIM+decode at 7 for
+        the same reason, sdfusion_txt2shape_model.py:493-511). The chunk
+        body compiles once via ``lax.map``."""
+        K = samples.shape[0]
+        if K <= max_chunk or K % max_chunk != 0:
+            return self.vqvae.apply(variables["vqvae"], samples,
+                                    method=VQVAE3D.decode_no_quant)
+        chunks = samples.reshape((K // max_chunk, max_chunk)
+                                 + samples.shape[1:])
+
+        def body(c):
+            return self.vqvae.apply(variables["vqvae"], c,
+                                    method=VQVAE3D.decode_no_quant)
+
+        out = jax.lax.map(body, chunks)
+        return out.reshape((K,) + out.shape[2:])
 
     # ------------------------------------------------------------------
     # manipulation-mode eval (reference decoder_with_changes / _additions +
