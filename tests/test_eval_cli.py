@@ -49,3 +49,15 @@ def test_eval_manipulation_mode(exp_dir):
     # the 'total' row when any changed triples were scored
     assert "total" in s
     assert s["network_type"] == "v2_box"
+
+
+def test_eval_sharded_over_virtual_mesh(exp_dir, capsys):
+    """eval_batch == device_count (8 virtual CPU devices) must engage the
+    data mesh and produce the same kind of summary."""
+    from commonscenes_tpu.cli.eval_3dfront import main
+    s = main(["--exp", exp_dir, "--epoch", "0", "--dataset", "synthetic",
+              "--num_scenes", "8", "--eval_batch", "8"])
+    out = capsys.readouterr().out
+    assert "eval sharded over 8 devices" in out
+    assert s["eval_batch"] == 8
+    assert np.isfinite(s["scenes_per_sec"])
