@@ -1,6 +1,7 @@
 """Facade dispatch tests over network types (tiny dims)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -87,3 +88,23 @@ def test_shape_retrieval():
     retr = ShapeRetrieval(codes)
     q = np.stack([codes["model_3"], codes["model_1"]])
     assert retr.lookup(q) == ["model_3", "model_1"]
+
+
+@pytest.mark.fast
+def test_shape_retrieval_class_restricted():
+    """Reference get_closest_vec restricts candidates to the query's class
+    (model/VAE.py:296-319)."""
+    import numpy as np
+    from commonscenes_tpu.models.v1_full import ShapeRetrieval
+
+    codes = {"bed_1": np.ones(256, np.float32),
+             "bed_2": np.full(256, 2.0, np.float32),
+             "lamp_1": np.full(256, 1.04, np.float32)}
+    r = ShapeRetrieval(codes, class_to_ids={"bed": ["bed_1", "bed_2"],
+                                            "lamp": ["lamp_1"]})
+    q = np.stack([np.full(256, 1.05, np.float32),
+                  np.full(256, 1.05, np.float32)])
+    # unrestricted: nearest overall is lamp_1 (1.04); restricted to bed → bed_1
+    assert r.lookup(q)[0] == "lamp_1"
+    assert r.lookup(q, class_names=["bed", "lamp"]) == ["bed_1", "lamp_1"]
+    assert ShapeRetrieval({}).lookup(q) == [None, None]
