@@ -61,3 +61,19 @@ def test_eval_sharded_over_virtual_mesh(exp_dir, capsys):
     assert "eval sharded over 8 devices" in out
     assert s["eval_batch"] == 8
     assert np.isfinite(s["scenes_per_sec"])
+
+
+def test_eval_manivis_cli(exp_dir, tmp_path):
+    """Manipulation visual eval: per-mode SCA-changes + DOT + layout PNGs."""
+    from commonscenes_tpu.cli.eval_manivis import main
+    out = str(tmp_path / "mv")
+    summaries = main(["--exp", exp_dir, "--epoch", "0",
+                      "--dataset", "synthetic", "--num_scenes", "2",
+                      "--modes", "relationship", "--out", out])
+    assert "relationship" in summaries
+    mode_dir = os.path.join(out, "relationship")
+    assert os.path.exists(os.path.join(mode_dir, "layouts.json"))
+    pngs = [f for f in os.listdir(mode_dir) if f.endswith("_layout.png")]
+    dots = [f for f in os.listdir(mode_dir) if f.endswith(".dot")]
+    assert len(pngs) == 2 and len(dots) == 2
+    assert os.path.exists(os.path.join(out, "summary.json"))
