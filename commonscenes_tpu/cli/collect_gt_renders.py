@@ -72,9 +72,13 @@ def main(argv=None):
     root = vocab.scene_class_id
 
     os.makedirs(args.out, exist_ok=True)
+    # per-split denormalization stats (same policy as eval_3dfront — GT and
+    # generated layouts must live in the same coordinate scale for FID)
+    box_mean = getattr(ds, "box_mean", None)
+    box_std = getattr(ds, "box_std", None)
     for i in range(min(args.num_scenes, len(ds))):
         scene = ds[i]
-        boxes = denormalize_boxes(scene.boxes)
+        boxes = denormalize_boxes(scene.boxes, mean=box_mean, std=box_std)
         meshes, classes = [], []
         for k in range(scene.num_objs):
             c = int(scene.objs[k])
@@ -87,7 +91,6 @@ def main(argv=None):
                 if len(f) == 0:
                     v, f = box_mesh(boxes[k])
                 else:
-                    box7 = np.concatenate([boxes[k], [angle]])
                     v = fit_vertices_to_box(v, boxes[k], angle_deg=angle)
             else:
                 v, f = box_mesh(boxes[k])

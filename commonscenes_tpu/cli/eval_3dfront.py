@@ -67,10 +67,8 @@ def build_parser():
 
 
 def _batch_cfg(cfg, batch_size):
-    return cfg.batch.__class__(
-        batch_size=batch_size, max_objs=cfg.batch.max_objs,
-        max_triples=cfg.batch.max_triples,
-        diffusion_bs=cfg.batch.diffusion_bs, sdf_res=cfg.batch.sdf_res)
+    import dataclasses
+    return dataclasses.replace(cfg.batch, batch_size=batch_size)
 
 
 def _export_scene(export_dir, scene, vocab, b, bi, boxes_d, angles_row,
@@ -232,16 +230,22 @@ def main(argv=None):
         variables = {"params": state.params, "batch_stats": state.stats}
 
         # retrieval database (reference model/VAE.py:29-46): real DeepSDF
-        # codes when the dataset ships them, else per-class pseudo-codes
+        # codes when the dataset ships them, else per-class pseudo-codes.
+        # Candidates are restricted per class like the reference's
+        # box_data[class_name] lookup (decode_g2sv1, VAE.py:296-319).
         deepsdf_root = os.path.join(args.dataset, "DEEPSDF_reconstruction") \
             if args.dataset != "synthetic" else ""
         if deepsdf_root and os.path.isdir(os.path.join(deepsdf_root, "Codes")):
             retrieval = ShapeRetrieval.from_deepsdf_dir(deepsdf_root)
+            retrieval.class_to_ids = getattr(
+                train_set, "model_ids_by_class", lambda: {})()
             mesh_base = os.path.join(deepsdf_root, "Meshes")
         else:
             retrieval = ShapeRetrieval(
                 {f"class_{c}": pseudo_shape_codes(np.asarray([c]))[0]
-                 for c in range(vocab.num_obj_classes)})
+                 for c in range(vocab.num_obj_classes)},
+                class_to_ids={vocab.obj_classes[c]: [f"class_{c}"]
+                              for c in range(vocab.num_obj_classes)})
             mesh_base = ""
     else:
         model = CommonScenesV2Full(cfg, vocab.num_obj_classes,
@@ -268,6 +272,7 @@ def main(argv=None):
     if os.path.exists(stats_pkl):
         with open(stats_pkl, "rb") as f:
             mean_est, cov_est = pickle.load(f)
+        stats_scenes = "cached"
     else:
         if v1_full:
             @jax.jit
@@ -296,6 +301,7 @@ def main(argv=None):
             limit=args.stats_limit or None)
         with open(stats_pkl, "wb") as f:
             pickle.dump((mean_est, cov_est), f)
+        stats_scenes = min(args.stats_limit or len(train_set), len(train_set))
     cov_chol = np.linalg.cholesky(
         cov_est + 1e-5 * np.eye(cov_est.shape[0]))
     mean_j = jnp.asarray(mean_est)
@@ -331,6 +337,17 @@ def main(argv=None):
                 variables, z, dec, train=False, method=_V1.decode)
             return {"boxes": boxes, "angles": angles, "shapes": shapes}
 
+        @jax.jit
+        def v1_manip_fn(batch, codes, k):
+            # reference decoder_with_changes for v1_full (VAE.py:195-197):
+            # encode the GT encoder view, run the manipulation GCN, decode
+            out = model.apply(variables, batch.enc, batch.dec, codes,
+                              batch.node_new, batch.node_changed, k,
+                              train=False)
+            return {"boxes": out["boxes"], "angles": out["angles"],
+                    "shapes": out["shapes"],
+                    "keep": batch.keep_mask.reshape(-1)}
+
     # ------------------------------------------------------------------
     # evaluation loop (batched; reference validate_constrains_loop[_w_changes])
     # ------------------------------------------------------------------
@@ -345,7 +362,8 @@ def main(argv=None):
 
     t_start = time.time()
     scenes_done = 0
-    ctx = mesh if mesh is not None else _nullcontext()
+    from contextlib import nullcontext
+    ctx = mesh if mesh is not None else nullcontext()
     with ctx:
         for start in range(0, n_eval, B):
             idx = [min(i, n_eval - 1) for i in range(start, start + B)]
@@ -364,7 +382,11 @@ def main(argv=None):
                 bucket=args.pack_bucket)
             slots_j = jnp.asarray(slots)
 
-            if v1_full:
+            if v1_full and manip != "none":
+                codes = jnp.asarray(pseudo_shape_codes(np.asarray(b.dec.objs)))
+                out = v1_manip_fn(b, codes, sub)
+                keep = np.asarray(out["keep"])
+            elif v1_full:
                 out = v1_sample_fn(b.dec, sub)
                 keep = None
             elif manip == "none":
@@ -398,13 +420,17 @@ def main(argv=None):
             # diversity resampling (reference eval_3dfront.py:584-719)
             if gen_shapes and args.evaluate_diversity and not v1_full \
                     and manip == "none":
+                # drop the duplicated tail scenes of the last ragged batch
+                N = cfg.batch.max_objs
+                valid_sel = np.where(
+                    slots[:n_real] // N < n_valid)[0]
                 for s_idx in range(args.num_samples):
                     key, sub2 = jax.random.split(key)
                     o = sample_fn(b.dec, sub2, slots_j, True)
                     sd = np.asarray(o["sdf"], np.float32)[..., 0]
-                    run_sdfs[s_idx].append(sd[:n_real])
+                    run_sdfs[s_idx].append(sd[:n_real][valid_sel])
                 objs_flat = np.asarray(b.dec.objs).reshape(-1)
-                obj_classes_acc.append(objs_flat[slots[:n_real]])
+                obj_classes_acc.append(objs_flat[slots[:n_real]][valid_sel])
 
             # retrieval for v1_full (reference decode_g2sv1, VAE.py:296-319)
             retrieved_all = None
@@ -441,7 +467,7 @@ def main(argv=None):
     summary["scenes_per_sec"] = scenes_done / dt
     summary["eval_batch"] = B
     summary["network_type"] = net_type
-    summary["latent_stats_scenes"] = (args.stats_limit or len(train_set))
+    summary["latent_stats_scenes"] = stats_scenes
 
     if args.evaluate_diversity and any(len(r) for r in run_sdfs):
         runs = [np.concatenate(r, 0) for r in run_sdfs if r]
@@ -456,13 +482,6 @@ def main(argv=None):
                       for k, v in summary.items()}, indent=2))
     return summary
 
-
-class _nullcontext:
-    def __enter__(self):
-        return None
-
-    def __exit__(self, *a):
-        return False
 
 
 if __name__ == "__main__":

@@ -6,9 +6,9 @@
 For each test scene and manipulation mode it produces, side by side:
 * the ORIGINAL scene graph (DOT) and the MANIPULATED graph with the
   changed/added nodes highlighted;
-* a top-down render of the ground-truth layout and of the predicted layout
-  after the manipulation (with regenerated shapes when --gen_shape, else
-  box wireframes via unit cubes);
+* a top-down render of the PREDICTED layout after the manipulation
+  (rotated box proxies; regenerated shape meshes are exported as OBJ by the
+  underlying eval when --gen_shape);
 * an SCA-changes score table over all exported scenes.
 """
 
@@ -22,7 +22,7 @@ import sys
 import numpy as np
 
 
-def _box_mesh(box):
+def _box_mesh():
     """Unit cube fitted later by fit_vertices_to_box: verts in [-0.5, 0.5]."""
     v = np.array([[x, y, z] for x in (-0.5, 0.5) for y in (-0.5, 0.5)
                   for z in (-0.5, 0.5)], np.float32)
@@ -73,10 +73,14 @@ def main(argv=None):
             layouts = json.load(f)
         for rec in layouts:
             meshes, classes = [], []
-            from commonscenes_tpu.eval.scene_export import fit_vertices_to_box
-            for obj, box in zip(rec["objs"], rec["boxes"]):
-                v, fc = _box_mesh(box)
-                v = fit_vertices_to_box(v, np.asarray(box, np.float32))
+            from commonscenes_tpu.eval.scene_export import (
+                angle_bin_to_degrees, fit_vertices_to_box)
+            for obj, box, ang in zip(rec["objs"], rec["boxes"],
+                                     rec["angles"]):
+                v, fc = _box_mesh()
+                v = fit_vertices_to_box(
+                    v, np.asarray(box, np.float32),
+                    angle_deg=angle_bin_to_degrees(int(ang)))
                 meshes.append((v, fc))
                 classes.append(int(obj))
             if meshes:

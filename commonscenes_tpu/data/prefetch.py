@@ -31,20 +31,18 @@ class BatchPrefetcher:
         self._thread.start()
 
     def _run(self):
-        produced = 0
-        i = 0
-        while produced < self._num:
+        # a failed batch consumes its step (same as the synchronous guard,
+        # reference train_3dfront.py:276-283) — a persistently-failing
+        # dataset ends the epoch instead of hanging the queue forever
+        for i in range(self._num):
             try:
                 b = self._make(i)
             except Exception as e:  # noqa: BLE001 — data errors only
                 self.skipped += 1
                 if self._on_error is not None:
                     self._on_error(i, e)
-                i += 1
                 continue
             self._q.put(b)
-            produced += 1
-            i += 1
         self._q.put(None)  # sentinel
 
     def __iter__(self):

@@ -109,6 +109,22 @@ class SGFrontDataset:
     def __len__(self) -> int:
         return self.data_len if self.data_len is not None else len(self.scans)
 
+    def model_ids_by_class(self) -> Dict[str, list]:
+        """coarse class name → 3D-FUTURE model ids seen in this split
+        (reference box_data[class_name] candidate sets for retrieval,
+        VAE.py:296-319). Model id = the directory holding raw_model.obj."""
+        out: Dict[str, set] = {}
+        for sid in self.scans:
+            for inst, label in self.objs[sid].items():
+                entry = self.box_data.get(sid, {}).get(str(inst))
+                if not entry or not entry.get("model_path"):
+                    continue
+                coarse = (self.mapping.get(label, label)
+                          if self.mapping is not None else label)
+                mid = os.path.basename(os.path.dirname(entry["model_path"]))
+                out.setdefault(coarse, set()).add(mid)
+        return {k: sorted(v) for k, v in out.items()}
+
     def normalize_box(self, param7: np.ndarray) -> np.ndarray:
         if self._stats7 is None:
             out = param7.copy()

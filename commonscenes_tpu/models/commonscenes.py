@@ -277,10 +277,16 @@ class CommonScenesV2Full:
         the same reason, sdfusion_txt2shape_model.py:493-511). The chunk
         body compiles once via ``lax.map``."""
         K = samples.shape[0]
-        if K <= max_chunk or K % max_chunk != 0:
+        if K <= max_chunk:
             return self.vqvae.apply(variables["vqvae"], samples,
                                     method=VQVAE3D.decode_no_quant)
-        chunks = samples.reshape((K // max_chunk, max_chunk)
+        # pad to a chunk multiple so the HBM guard holds for ANY K
+        pad = (-K) % max_chunk
+        if pad:
+            samples = jnp.concatenate(
+                [samples, jnp.zeros((pad,) + samples.shape[1:],
+                                    samples.dtype)], axis=0)
+        chunks = samples.reshape(((K + pad) // max_chunk, max_chunk)
                                  + samples.shape[1:])
 
         def body(c):
@@ -288,7 +294,7 @@ class CommonScenesV2Full:
                                     method=VQVAE3D.decode_no_quant)
 
         out = jax.lax.map(body, chunks)
-        return out.reshape((K,) + out.shape[2:])
+        return out.reshape((K + pad,) + out.shape[2:])[:K]
 
     # ------------------------------------------------------------------
     # manipulation-mode eval (reference decoder_with_changes / _additions +

@@ -27,9 +27,21 @@ def test_prefetcher_skips_bad_batches():
     pf = BatchPrefetcher(make, num_steps=4, depth=2,
                          on_error=lambda i, e: errors.append(i))
     out = list(pf)
-    assert out == [0, 2, 4, 5]      # still produces num_steps batches
+    # a failed batch consumes its step (bounded epoch — a persistently
+    # failing dataset must not hang the queue forever)
+    assert out == [0, 2]
     assert errors == [1, 3]
     assert pf.skipped == 2
+
+
+@pytest.mark.fast
+def test_prefetcher_terminates_when_every_batch_fails():
+    def always_bad(i):
+        raise RuntimeError("corrupt")
+
+    pf = BatchPrefetcher(always_bad, num_steps=5, depth=2)
+    assert list(pf) == []
+    assert pf.skipped == 5
 
 
 @pytest.mark.fast

@@ -32,3 +32,31 @@ def test_sample_with_slot_packing():
     np.testing.assert_allclose(
         np.asarray(out["sdf"]),
         np.asarray(out_full["sdf"])[np.asarray(slots)], rtol=1e-3, atol=1e-4)
+
+
+def test_decode_latents_chunks_any_K():
+    """_decode_latents must chunk (and pad) for ANY K > max_chunk, and equal
+    the direct decode."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tests.test_train_step import tiny_cfg, VOCAB
+    from commonscenes_tpu.models.commonscenes import CommonScenesV2Full
+    from commonscenes_tpu.nn.vqvae3d import VQVAE3D
+
+    cfg = tiny_cfg()
+    model = CommonScenesV2Full(cfg, VOCAB.num_obj_classes,
+                               VOCAB.num_pred_classes)
+    z_sp, zc = cfg.vqvae.z_spatial, cfg.vqvae.embed_dim
+    rng = np.random.RandomState(0)
+    K = 7  # not a multiple of the chunk
+    samples = jnp.asarray(rng.randn(K, z_sp, z_sp, z_sp, zc), jnp.float32)
+    vq_vars = model.vqvae.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 16, 16, 16, 1)))
+    variables = {"vqvae": vq_vars}
+    direct = model.vqvae.apply(vq_vars, samples,
+                               method=VQVAE3D.decode_no_quant)
+    chunked = model._decode_latents(variables, samples, max_chunk=4)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(direct),
+                               rtol=1e-5, atol=1e-6)
+    assert chunked.shape[0] == K
