@@ -25,7 +25,9 @@ import jax
 import jax.numpy as jnp
 
 
-_VMEM_BUDGET = 8 * 1024 * 1024  # bytes for the apply tile's live buffers
+_VMEM_BUDGET = 8 * 1024 * 1024  # apply-tile live bytes; 12 MB measured
+# identical throughput (0.1424 vs 0.1422 scenes/s) so keep the safer margin
+# under the 16 MB scoped limit
 
 
 def _pick_tile(S: int, C: int) -> int:
