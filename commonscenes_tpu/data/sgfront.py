@@ -188,6 +188,7 @@ class SGFrontDataset:
                 np.zeros((len(triples_words), self.clip_dim), np.float32))
 
     def __getitem__(self, index: int) -> RawScene:
+        index = int(index)  # numpy ints from batch samplers break random.Random
         scan_id = self.scans[index % len(self.scans)]
         instance2label = self.objs[scan_id]
         keys = list(instance2label.keys())

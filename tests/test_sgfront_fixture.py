@@ -234,3 +234,16 @@ def test_analyse_dataset_on_fixture(sgfront_root, tmp_path):
     assert stats["relationship_frequencies"]["left"] == 1
     assert stats["class_frequencies"]["bed"] == 1
     assert stats["objs_per_scene"]["max"] == 5
+
+
+def test_train_cli_on_fixture(sgfront_root, tmp_path):
+    """The train CLI must run end-to-end on a real-format SG-FRONT tree
+    (JSON/h5/pkl reads inside the prefetch loop, checkpoint written)."""
+    from commonscenes_tpu.cli.train_3dfront import main
+    exp = str(tmp_path / "exp_fixture")
+    main(["--network_type", "v2_box", "--dataset", sgfront_root,
+          "--room_type", "bedroom", "--nepoch", "1", "--steps_per_epoch", "2",
+          "--batchSize", "2", "--max_objs", "8", "--max_triples", "16",
+          "--exp", exp, "--vis_every", "0"])
+    assert os.path.exists(os.path.join(exp, "checkpoint", "model_0"))
+    assert os.path.exists(os.path.join(exp, "logs", "loss_log.txt"))
