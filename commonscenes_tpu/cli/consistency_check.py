@@ -43,10 +43,35 @@ def main(argv=None):
         vocab = SGFrontDataset(args.dataset, "test", args.room_type,
                                with_clip=False).vocab
 
-    pairs_by_scan = {}
+    # pair lists: either the reference consistencies_{room}_test.json format
+    # ({"scans": [{"scan", "objects", "consistency": [[sub_inst, obj_inst],
+    # ...]}]}, scripts/consistency_check.py:33-50) with INSTANCE ids, or a
+    # flat {scan: [[slot, slot], ...]} dict
+    inst_pairs_by_scan = {}
+    slot_pairs_by_scan = {}
     if args.pairs_json and os.path.exists(args.pairs_json):
         with open(args.pairs_json) as f:
-            pairs_by_scan = json.load(f)
+            d = json.load(f)
+        if isinstance(d, dict) and "scans" in d:
+            for scan in d["scans"]:
+                inst_pairs_by_scan[scan["scan"]] = [
+                    (int(t[0]), int(t[1])) for t in scan.get("consistency", [])]
+        else:
+            slot_pairs_by_scan = {k: [(int(a), int(b)) for a, b in v]
+                                  for k, v in d.items()}
+
+    # instance → slot mapping from the eval export (layouts.json carries
+    # per-scene instance_ids when the dataset provides them)
+    inst_to_slot_by_scan = {}
+    layouts_path = os.path.join(args.export_dir, "layouts.json")
+    if os.path.exists(layouts_path):
+        with open(layouts_path) as f:
+            for rec in json.load(f):
+                ids = rec.get("instance_ids")
+                if ids:
+                    inst_to_slot_by_scan[rec["scan_id"]] = {
+                        int(inst): slot for slot, inst in enumerate(ids)
+                        if int(inst) >= 0}
 
     agg = {"consistency_pairs": 0, "consistency_feature_cos": [],
            "consistency_chamfer": []}
@@ -59,21 +84,41 @@ def main(argv=None):
             import ml_dtypes
             sdfs = sdfs.view(ml_dtypes.bfloat16)
         sdfs = sdfs.astype(np.float32)
-        if scan in pairs_by_scan:
-            # explicit [s, o] slot pairs (reference file format)
-            tri = np.asarray([[s, vocab.pred_to_idx["same style as"], o]
-                              for s, o in pairs_by_scan[scan]])
+        # sdf rows are PACKED: data["slots"] maps row → scene slot
+        slot_arr = np.asarray(data["slots"]) if "slots" in data else \
+            np.arange(len(sdfs))
+        row_of_slot = {int(sl): r for r, sl in enumerate(slot_arr)}
+
+        pairs_rows = None
+        if scan in inst_pairs_by_scan and scan in inst_to_slot_by_scan:
+            i2s = inst_to_slot_by_scan[scan]
+            pairs_rows = [
+                (row_of_slot[i2s[a]], row_of_slot[i2s[b]])
+                for a, b in inst_pairs_by_scan[scan]
+                if a in i2s and b in i2s
+                and i2s[a] in row_of_slot and i2s[b] in row_of_slot]
+        elif scan in slot_pairs_by_scan:
+            pairs_rows = [
+                (row_of_slot[a], row_of_slot[b])
+                for a, b in slot_pairs_by_scan[scan]
+                if a in row_of_slot and b in row_of_slot]
+
+        # pairs are scored under a synthetic 'same style as' edge label —
+        # independent of the dataset's own predicate vocabulary
+        pair_preds = ["same style as"]
+        if pairs_rows is not None:
+            tri = np.asarray([[a, 0, b]
+                              for a, b in pairs_rows]).reshape(-1, 3)
         else:
-            dot = os.path.join(args.export_dir, f"{scan}.dot")
             # fall back: all pairs (sdf exports don't carry triples); the
             # metric is a mean over pairs either way
             n = len(sdfs)
-            tri = np.asarray([[i, vocab.pred_to_idx["same style as"], j]
+            tri = np.asarray([[i, 0, j]
                               for i in range(n) for j in range(i + 1, n)])
         if len(tri) == 0 or len(sdfs) < 2:
             continue
         res = consistency_scores(sdfs[..., 0] if sdfs.ndim == 5 else sdfs,
-                                 tri, vocab.predicates,
+                                 tri, pair_preds,
                                  n_points=args.n_points)
         agg["consistency_pairs"] += res.get("consistency_pairs", 0)
         if "consistency_feature_cos" in res:

@@ -91,6 +91,10 @@ def _export_scene(export_dir, scene, vocab, b, bi, boxes_d, angles_row,
            "objs": objs_row[mask].tolist(),
            "boxes": boxes_d[bi * N:(bi + 1) * N][mask].tolist(),
            "angles": angles_row[bi * N:(bi + 1) * N][mask].tolist()}
+    if getattr(scene, "instance_ids", None) is not None:
+        # slot → dataset instance id (consumed by cli/consistency_check.py
+        # to translate the reference's instance-id pair lists)
+        rec["instance_ids"] = np.asarray(scene.instance_ids).tolist()
     if retrieved is not None:
         rec["retrieved"] = retrieved
     if sdfs is not None and slot_rows is not None and len(slot_rows):

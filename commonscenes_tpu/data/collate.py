@@ -37,6 +37,8 @@ class RawScene:
     sdfs: Optional[np.ndarray] = None         # f32 [n, R, R, R] or None
     has_sdf: Optional[np.ndarray] = None      # bool [n]
     scan_id: str = ""
+    instance_ids: Optional[np.ndarray] = None  # i32 [n] dataset instance ids
+                                               # (root/synthetic slots: -1)
 
     @property
     def num_objs(self) -> int:

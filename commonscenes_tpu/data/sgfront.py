@@ -274,6 +274,9 @@ class SGFrontDataset:
             text_feats, rel_feats = self._clip_feats(
                 scan_id, instances_order, cat_names, words)
 
+        inst_ids = np.asarray(instances_order +
+                              ([-1] if self.use_scene_rels else []),
+                              np.int32)
         return RawScene(
             objs=np.asarray(cat_ids, np.int32),
             objs_grained=np.asarray(cat_ids_grained, np.int32),
@@ -285,4 +288,5 @@ class SGFrontDataset:
             sdfs=np.stack(sdfs) if self.use_sdf else None,
             has_sdf=np.asarray(has_sdf) if self.use_sdf else None,
             scan_id=scan_id,
+            instance_ids=inst_ids,
         )

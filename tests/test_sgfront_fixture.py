@@ -247,3 +247,33 @@ def test_train_cli_on_fixture(sgfront_root, tmp_path):
           "--exp", exp, "--vis_every", "0"])
     assert os.path.exists(os.path.join(exp, "checkpoint", "model_0"))
     assert os.path.exists(os.path.join(exp, "logs", "loss_log.txt"))
+
+
+@pytest.mark.fast
+def test_consistency_cli_reference_format(sgfront_root, tmp_path):
+    """consistency_check consumes the reference consistencies_{room}_test
+    format (instance-id pairs) via the export's instance_ids mapping."""
+    # fake eval export: 3 packed sdf rows for slots of the fixture scene
+    export = str(tmp_path / "exp")
+    os.makedirs(export)
+    rng = np.random.RandomState(0)
+    sdfs = np.clip(rng.randn(2, 16, 16, 16) * 0.1, -0.2, 0.2).astype(np.float32)
+    # instance 1 → slot 0, instance 2 → slot 1 (layouts.json mapping below)
+    np.savez_compressed(os.path.join(export, f"{SCAN}_sdf.npz"),
+                        sdf=sdfs, slots=np.asarray([0, 1]))
+    with open(os.path.join(export, "layouts.json"), "w") as f:
+        json.dump([{"scan_id": SCAN, "objs": [1, 4], "boxes": [[1] * 6] * 2,
+                    "angles": [0, 0], "instance_ids": [1, 2, -1]}], f)
+    pairs = str(tmp_path / "consistencies_bedroom_test.json")
+    with open(pairs, "w") as f:
+        json.dump({"scans": [{"scan": SCAN,
+                              "objects": {"1": "double_bed",
+                                          "2": "nightstand"},
+                              "consistency": [[1, 2]]}]}, f)
+
+    from commonscenes_tpu.cli.consistency_check import main
+    out = main(["--export_dir", export, "--dataset", sgfront_root,
+                "--room_type", "bedroom", "--pairs_json", pairs,
+                "--n_points", "256"])
+    assert out["consistency_pairs"] == 1
+    assert np.isfinite(out["consistency_chamfer"])
