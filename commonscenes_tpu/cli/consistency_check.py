@@ -4,9 +4,10 @@ Capability parity with reference scripts/consistency_check.py:1-107: score
 appearance/shape consistency of object pairs linked by same-style /
 same-material / same-supercategory edges, over eval exports
 (``<export_dir>/<scan>_sdf.npz`` + layouts.json from cli/eval_3dfront.py).
-Pair lists come from the scene triples (or a consistencies_{room}_test.json
-file with [s, o] pairs per scan when provided, matching the reference's
-input format).
+Pair lists come from a consistencies_{room}_test.json file (the reference's
+instance-id format, mapped to export slots via layouts.json instance_ids),
+a flat {scan: [[slot, slot], ...]} dict, or — absent both — all object
+pairs per scan.
 """
 
 from __future__ import annotations
@@ -28,20 +29,12 @@ except ImportError:
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--export_dir", required=True)
-    p.add_argument("--dataset", default="synthetic")
-    p.add_argument("--room_type", default="bedroom")
     p.add_argument("--pairs_json", default="",
                    help="optional consistencies_{room}_test.json")
     p.add_argument("--n_points", type=int, default=2048)
     args = p.parse_args(argv)
 
-    from commonscenes_tpu.data.vocab import Vocab
     from commonscenes_tpu.eval.consistency import consistency_scores
-    vocab = Vocab.synthetic() if args.dataset == "synthetic" else None
-    if vocab is None:
-        from commonscenes_tpu.data.sgfront import SGFrontDataset
-        vocab = SGFrontDataset(args.dataset, "test", args.room_type,
-                               with_clip=False).vocab
 
     # pair lists: either the reference consistencies_{room}_test.json format
     # ({"scans": [{"scan", "objects", "consistency": [[sub_inst, obj_inst],
@@ -90,6 +83,12 @@ def main(argv=None):
         row_of_slot = {int(sl): r for r, sl in enumerate(slot_arr)}
 
         pairs_rows = None
+        if scan in inst_pairs_by_scan and scan not in inst_to_slot_by_scan:
+            # the curated pair list can't be mapped without the export's
+            # instance_ids — skip rather than silently scoring all pairs
+            print(f"[!] {scan}: pairs_json given but the export has no "
+                  f"instance_ids mapping — skipping this scan")
+            continue
         if scan in inst_pairs_by_scan and scan in inst_to_slot_by_scan:
             i2s = inst_to_slot_by_scan[scan]
             pairs_rows = [

@@ -88,6 +88,7 @@ def _export_scene(export_dir, scene, vocab, b, bi, boxes_d, angles_row,
                node_changed=np.asarray(b.node_changed[bi]),
                scene_class_id=vocab.scene_class_id)
     rec = {"scan_id": scene.scan_id,
+           "root_class": int(vocab.scene_class_id),
            "objs": objs_row[mask].tolist(),
            "boxes": boxes_d[bi * N:(bi + 1) * N][mask].tolist(),
            "angles": angles_row[bi * N:(bi + 1) * N][mask].tolist()}

@@ -75,8 +75,11 @@ def main(argv=None):
             meshes, classes = [], []
             from commonscenes_tpu.eval.scene_export import (
                 angle_bin_to_degrees, fit_vertices_to_box)
+            root = rec.get("root_class", -1)
             for obj, box, ang in zip(rec["objs"], rec["boxes"],
                                      rec["angles"]):
+                if int(obj) == root:
+                    continue  # the '_scene_' node has no meaningful box
                 v, fc = _box_mesh()
                 v = fit_vertices_to_box(
                     v, np.asarray(box, np.float32),

@@ -263,6 +263,7 @@ def main(argv=None):
                             _skip(i, e)
                 batches = _sync_gen()
 
+            steps_done = 0
             for raw_batch in batches:
                 batch = shard_batch(mesh, raw_batch)
                 key, sub = jax.random.split(key)
@@ -272,6 +273,7 @@ def main(argv=None):
                 else:
                     state, metrics = trainer.train_step(state, batch, sub)
                 counter += 1
+                steps_done += 1
                 if counter % 100 == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     logger.log(counter, m)
@@ -291,7 +293,8 @@ def main(argv=None):
                         print(f"[*] wrote sample visuals: {p}")
             dt = time.time() - t0
             print(f"[*] epoch {epoch} done in {dt:.1f}s "
-                  f"({steps * cfg.batch.batch_size / dt:.2f} scenes/s)")
+                  f"({steps_done * cfg.batch.batch_size / dt:.2f} scenes/s, "
+                  f"{steps_done}/{steps} steps)")
             if epoch % 15 == 0 or epoch == args.nepoch - 1:
                 if v1_full:
                     import orbax.checkpoint as ocp

@@ -244,6 +244,18 @@ class ShapeRetrieval:
         self.matrix = np.stack([self.codes[i] for i in self.ids]) if codes \
             else np.zeros((0, 256), np.float32)
         self.class_to_ids = class_to_ids or {}
+        self._class_mats: Dict[str, tuple] = {}
+
+    def _candidates(self, cname: Optional[str]):
+        """(ids, stacked matrix) for a class (cached) or the full database."""
+        if cname is None or cname not in self.class_to_ids:
+            return self.ids, self.matrix
+        if cname not in self._class_mats:
+            cand = [i for i in self.class_to_ids[cname] if i in self.codes]
+            mat = (np.stack([self.codes[i] for i in cand]) if cand
+                   else np.zeros((0, 256), np.float32))
+            self._class_mats[cname] = (cand, mat)
+        return self._class_mats[cname]
 
     def lookup(self, query_codes: np.ndarray,
                class_names: Optional[list] = None) -> list:
@@ -251,15 +263,11 @@ class ShapeRetrieval:
         nearest model ids (None when no candidates exist)."""
         out = []
         for qi, q in enumerate(np.asarray(query_codes, np.float32)):
-            cname = class_names[qi] if class_names is not None else None
-            if cname is not None and cname in self.class_to_ids:
-                cand = [i for i in self.class_to_ids[cname] if i in self.codes]
-            else:
-                cand = self.ids
+            cand, mat = self._candidates(
+                class_names[qi] if class_names is not None else None)
             if not cand:
                 out.append(None)
                 continue
-            mat = np.stack([self.codes[i] for i in cand])
             d = np.sum((mat - q[None]) ** 2, axis=-1)
             out.append(cand[int(np.argmin(d))])
         return out

@@ -272,8 +272,7 @@ def test_consistency_cli_reference_format(sgfront_root, tmp_path):
                               "consistency": [[1, 2]]}]}, f)
 
     from commonscenes_tpu.cli.consistency_check import main
-    out = main(["--export_dir", export, "--dataset", sgfront_root,
-                "--room_type", "bedroom", "--pairs_json", pairs,
+    out = main(["--export_dir", export, "--pairs_json", pairs,
                 "--n_points", "256"])
     assert out["consistency_pairs"] == 1
     assert np.isfinite(out["consistency_chamfer"])
