@@ -111,10 +111,13 @@ def main():
     flops = sample_flops(cfg.unet, cfg.vqvae,
                          num_objs=int(slots.shape[0]),
                          ddim_steps=cfg.diffusion.ddim_steps)
+    # the CFG-dedup prefix only engages for crossattn conditioning
+    # (models/commonscenes.py _gen_shapes); concat runs the naive program
+    dedup = cfg.diffusion.conditioning_key == "crossattn"
     flops_exec = sample_flops(cfg.unet, cfg.vqvae,
                               num_objs=int(slots.shape[0]),
                               ddim_steps=cfg.diffusion.ddim_steps,
-                              cfg_dedup=True)
+                              cfg_dedup=dedup)
 
     def fetch(out):
         # host-fetch a scalar that depends on the last-produced buffer: over
@@ -170,20 +173,34 @@ def main():
             fetch(o)
         eval_scenes_per_sec = iters * eval_batch / (time.perf_counter() - t0)
 
-    # optional: training-step throughput (BENCH_TRAIN=1)
+    # training-step throughput at the real training operating point
+    # (batch 8, reference train loop scripts/train_3dfront.py:271-448);
+    # default on, BENCH_TRAIN=0 skips
     train_scenes_per_sec = None
-    if os.environ.get("BENCH_TRAIN"):
+    train_batch = int(os.environ.get("BENCH_TRAIN", "8"))
+    if train_batch > 0:
         from commonscenes_tpu.train.step_v2full import V2FullTrainer
-        trainer = V2FullTrainer(cfg, model, with_shapes=True)
-        tb = jax.device_put(batch)
+        cfg_t = cfg.replace(batch=cfg.batch.__class__(
+            batch_size=train_batch, max_objs=objs_per_scene + 1,
+            max_triples=96, diffusion_bs=4, sdf_res=64))
+        model_t = CommonScenesV2Full(cfg_t, vocab.num_obj_classes,
+                                     vocab.num_pred_classes,
+                                     dtype=jnp.bfloat16)
+        trainer = V2FullTrainer(cfg_t, model_t, with_shapes=True)
+        scenes_t = [make_scene(vocab, rng, num_objs=objs_per_scene,
+                               sdf_res=64) for _ in range(train_batch)]
+        tb = jax.device_put(
+            collate(scenes_t, vocab, cfg_t.batch, rng, with_shapes=True))
+        print(f"compiling train step (B={train_batch})...", file=sys.stderr,
+              flush=True)
         state = trainer.init_state(jax.random.PRNGKey(0), tb)
-        state, m = trainer.train_step(state, tb, jax.random.PRNGKey(1))
+        state, m = trainer.train_step(state, tb, jax.random.PRNGKey(99))
         _ = float(m["total"])           # honest host fetch (see fetch())
         t0 = time.perf_counter()
         for i in range(5):
             state, m = trainer.train_step(state, tb, jax.random.PRNGKey(i))
             _ = float(m["total"])
-        train_scenes_per_sec = 5 * scenes_per_batch / (time.perf_counter() - t0)
+        train_scenes_per_sec = 5 * train_batch / (time.perf_counter() - t0)
 
     baseline_scenes_per_sec = A100_EFFECTIVE_FLOPS / (flops / scenes_per_batch)
     vs_baseline = scenes_per_sec / baseline_scenes_per_sec

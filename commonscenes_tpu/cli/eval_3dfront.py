@@ -61,6 +61,13 @@ def build_parser():
                    help="shape-slot packing bucket (static DDIM batch)")
     p.add_argument("--stats_batch", type=int, default=16,
                    help="scenes per jitted latent-stats batch")
+    p.add_argument("--cat_jid", default="",
+                   help="reference cat_jid_trainval[_small].json for "
+                        "box-variant mesh retrieval (helpers/util.py:88-92); "
+                        "defaults to building the database from the dataset")
+    p.add_argument("--future_model_dir", default="",
+                   help="3D-FUTURE-model root holding <id>/raw_model.obj "
+                        "(defaults to <dataset>/3D-FUTURE-model)")
     p.add_argument("--stats_limit", type=int, default=0,
                    help="cap train scenes for latent stats (0 = full split)")
     return p
@@ -72,7 +79,7 @@ def _batch_cfg(cfg, batch_size):
 
 
 def _export_scene(export_dir, scene, vocab, b, bi, boxes_d, angles_row,
-                  sdfs=None, slot_rows=None, retrieved=None):
+                  sdfs=None, slot_rows=None, retrieved=None, box_retr=None):
     """Per-scene exports: DOT graph, layout row, optional OBJ/NPZ meshes."""
     import jax  # noqa: F401  (kept lazy)
     from commonscenes_tpu.eval.graph_viz import export_dot
@@ -98,6 +105,28 @@ def _export_scene(export_dir, scene, vocab, b, bi, boxes_d, angles_row,
         rec["instance_ids"] = np.asarray(scene.instance_ids).tolist()
     if retrieved is not None:
         rec["retrieved"] = retrieved
+    if box_retr is not None:
+        # box-variant mesh retrieval (reference get_textured_objects_v2,
+        # helpers/util.py:86-138): nearest 3D-FUTURE model by box size,
+        # placed by predicted yaw + translation
+        from commonscenes_tpu.eval.scene_export import (angle_bin_to_degrees,
+                                                        export_obj)
+        sel = [j for j in range(N) if mask[j]]
+        rows = boxes_d[bi * N:(bi + 1) * N]
+        recs = box_retr.retrieve_scene(
+            [vocab.obj_classes[int(objs_row[j])] for j in sel],
+            rows[sel],
+            [angle_bin_to_degrees(int(angles_row[bi * N + j]))
+             for j in sel])
+        rec["retrieved_boxmesh"] = {int(sel[r["slot"]]): r["model_id"]
+                                    for r in recs}
+        meshes = [r["mesh"] for r in recs if "mesh" in r]
+        mnames = [f"{r['class']}_{sel[r['slot']]}"
+                  for r in recs if "mesh" in r]
+        if meshes:
+            export_obj(os.path.join(export_dir,
+                                    f"{scene.scan_id}_retrieval.obj"),
+                       meshes, mnames)
     if sdfs is not None and slot_rows is not None and len(slot_rows):
         from commonscenes_tpu.eval.scene_export import (
             angle_bin_to_degrees, export_obj, fit_vertices_to_box)
@@ -274,11 +303,23 @@ def main(argv=None):
     # reference VAE.py:160-191)
     # ------------------------------------------------------------------
     stats_pkl = os.path.join(args.exp, f"model_stats_{args.epoch}.pkl")
+    # cache validated against everything the statistics depend on — a
+    # changed dataset/room/limit recomputes instead of silently reusing
+    stats_key = {"epoch": args.epoch, "room": args.room_type,
+                 "dataset": args.dataset,
+                 "stats_limit": int(args.stats_limit or 0),
+                 "n_train": len(train_set)}
+    mean_est = None
     if os.path.exists(stats_pkl):
         with open(stats_pkl, "rb") as f:
-            mean_est, cov_est = pickle.load(f)
-        stats_scenes = "cached"
-    else:
+            payload = pickle.load(f)
+        if isinstance(payload, dict) and payload.get("key") == stats_key:
+            mean_est, cov_est = payload["mean"], payload["cov"]
+            stats_scenes = payload["scenes"]
+        else:
+            print("[!] cached latent stats don't match the current "
+                  "(dataset, room, stats_limit) — recomputing")
+    if mean_est is None:
         if v1_full:
             @jax.jit
             def _enc_v1(enc, codes):
@@ -304,9 +345,10 @@ def main(argv=None):
             encode_fn, train_set, vocab, cfg.batch, rng, use_clip,
             batch_size=args.stats_batch,
             limit=args.stats_limit or None)
-        with open(stats_pkl, "wb") as f:
-            pickle.dump((mean_est, cov_est), f)
         stats_scenes = min(args.stats_limit or len(train_set), len(train_set))
+        with open(stats_pkl, "wb") as f:
+            pickle.dump({"key": stats_key, "mean": mean_est,
+                         "cov": cov_est, "scenes": stats_scenes}, f)
     cov_chol = np.linalg.cholesky(
         cov_est + 1e-5 * np.eye(cov_est.shape[0]))
     mean_j = jnp.asarray(mean_est)
@@ -365,6 +407,23 @@ def main(argv=None):
     if args.export_dir:
         os.makedirs(args.export_dir, exist_ok=True)
 
+    # box-variant mesh retrieval database (reference render_v2_box path,
+    # visualize_scene.py:273-298) — only for the box-only model variants
+    box_retr = None
+    if args.export_dir and net_type in ("v1_box", "v2_box"):
+        from commonscenes_tpu.eval.box_retrieval import BoxRetrieval
+        model_base = args.future_model_dir or (
+            os.path.join(args.dataset, "3D-FUTURE-model")
+            if args.dataset != "synthetic" else "")
+        if args.cat_jid:
+            box_retr = BoxRetrieval.from_cat_jid(args.cat_jid, model_base)
+        elif args.dataset != "synthetic":
+            box_retr = BoxRetrieval.from_dataset(train_set, model_base)
+        if box_retr is not None:
+            n_models = sum(len(v) for v in box_retr.db.values())
+            print(f"[*] box-retrieval database: {len(box_retr.db)} classes, "
+                  f"{n_models} models")
+
     t_start = time.time()
     scenes_done = 0
     from contextlib import nullcontext
@@ -377,15 +436,19 @@ def main(argv=None):
             b = collate(scenes, vocab, _batch_cfg(cfg, B), rng,
                         use_clip=use_clip, manipulation_modes=(manip,),
                         with_shapes=False)
+            # ragged tail: the duplicated filler rows get NO packed shape
+            # slots, so the dominant per-slot diffusion cost scales with
+            # n_valid instead of B (their layout decode is negligible)
+            row_valid = (np.arange(B) < n_valid).astype(
+                b.dec.obj_mask.dtype)
+            slots, n_real = pack_slots(
+                b.dec.objs, b.dec.obj_mask * row_valid[:, None],
+                vocab.scene_class_id, bucket=args.pack_bucket)
+            slots_j = jnp.asarray(slots)
             if mesh is not None:
                 from commonscenes_tpu.parallel.mesh import shard_batch
                 b = shard_batch(mesh, b)
             key, sub = jax.random.split(key)
-
-            slots, n_real = pack_slots(
-                b.dec.objs, b.dec.obj_mask, vocab.scene_class_id,
-                bucket=args.pack_bucket)
-            slots_j = jnp.asarray(slots)
 
             if v1_full and manip != "none":
                 codes = jnp.asarray(pseudo_shape_codes(np.asarray(b.dec.objs)))
@@ -464,7 +527,7 @@ def main(argv=None):
                     export.append(_export_scene(
                         args.export_dir, scenes[bi], vocab, b, bi, boxes_d,
                         angles_row, sdfs=sd_rows, slot_rows=slot_rows,
-                        retrieved=retr))
+                        retrieved=retr, box_retr=box_retr))
             scenes_done += n_valid
 
     dt = time.time() - t_start

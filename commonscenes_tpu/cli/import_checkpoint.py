@@ -39,6 +39,15 @@ def main(argv=None):
                         "shipped configs/v2_full[_concat].yaml)")
     p.add_argument("--epoch", type=int, default=-1,
                    help="checkpoint tag (-1 = the .pth's own epoch)")
+    p.add_argument("--pooling", choices=["avg", "sum", "wAvg"], default=None,
+                   help="override the GCN pooling. 'sum' and 'avg' have "
+                        "IDENTICAL parameters but different forward math, so "
+                        "this cannot be inferred from the weights — pass the "
+                        "original training flag if it was 'sum'")
+    p.add_argument("--conditioning_key", choices=["crossattn", "concat"],
+                   default=None,
+                   help="override the diffusion conditioning key (guessed "
+                        "from rel_out>=4096 otherwise)")
     args = p.parse_args(argv)
 
     import torch
@@ -62,6 +71,20 @@ def main(argv=None):
     hp = infer_reference_layout_hparams(
         {k: v for k, v in merged.items()
          if isinstance(v, torch.Tensor)})
+    if args.pooling is not None:
+        hp["gconv_pooling"] = args.pooling
+    elif hp["gconv_pooling"] == "avg":
+        print("[!] gconv_pooling GUESSED as 'avg': 'sum' has identical "
+              "parameters but different forward math and cannot be inferred "
+              "from weights — pass --pooling sum if the checkpoint was "
+              "trained with it", file=sys.stderr)
+    if args.conditioning_key is not None:
+        hp["conditioning_key"] = args.conditioning_key
+    else:
+        print(f"[!] conditioning_key GUESSED as "
+              f"'{hp['conditioning_key']}' from rel_out={hp['rel_out']} "
+              f"(>=4096 → concat); pass --conditioning_key to override",
+              file=sys.stderr)
     print("[*] inferred hyperparameters:",
           json.dumps({k: v for k, v in hp.items()}, default=str))
 

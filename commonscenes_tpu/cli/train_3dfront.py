@@ -170,12 +170,37 @@ def main(argv=None):
                                    vocab.num_pred_classes, dtype=dtype)
         trainer = V2FullTrainer(cfg, model, with_shapes=with_shapes)
 
-    def shape_codes_for(batch):
-        """GT DeepSDF codes for v1_full: deterministic per-class pseudo-codes
-        (the real DEEPSDF_reconstruction download is absent here; reference
-        VAE.py:38-46 reads codes from disk)."""
+    # GT DeepSDF codes database (reference VAE.py:38-46 reads per-model
+    # codes from disk at train time)
+    gt_codes = None
+    if v1_full and args.dataset != "synthetic":
+        deepsdf_root = os.path.join(args.dataset, "DEEPSDF_reconstruction")
+        if os.path.isdir(os.path.join(deepsdf_root, "Codes")):
+            from commonscenes_tpu.models.v1_full import ShapeRetrieval
+            gt_codes = ShapeRetrieval.from_deepsdf_dir(deepsdf_root).codes
+            print(f"[*] loaded {len(gt_codes)} GT DeepSDF codes "
+                  f"from {deepsdf_root}")
+
+    def shape_codes_for(batch, scenes=None):
+        """GT DeepSDF codes for v1_full (reference VAE.py:38-46): real codes
+        from the dataset's DEEPSDF_reconstruction tree when present, with
+        deterministic per-class pseudo-codes filling slots whose model has
+        no code (and the whole batch when the tree is absent)."""
         from commonscenes_tpu.models.v1_full import pseudo_shape_codes
-        return jnp.asarray(pseudo_shape_codes(np.asarray(batch.dec.objs)))
+        objs = np.asarray(batch.dec.objs)
+        codes = pseudo_shape_codes(objs).reshape(
+            objs.shape[0], objs.shape[1], -1)
+        if gt_codes and scenes is not None:
+            for b, scene in enumerate(scenes):
+                if scene.instance_ids is None:
+                    continue
+                mids = dataset.model_ids_for_scan(scene.scan_id)
+                for j, inst in enumerate(
+                        scene.instance_ids[:objs.shape[1]]):
+                    c = gt_codes.get(mids.get(int(inst), ""))
+                    if c is not None:
+                        codes[b, j, :c.shape[0]] = c
+        return jnp.asarray(codes.reshape(-1, codes.shape[-1]))
 
     rng = np.random.RandomState(args.seed)
     modes = ["relationship", "addition", "none"] if args.with_changes else ["none"]
@@ -188,7 +213,7 @@ def main(argv=None):
                        manipulation_modes=tuple(
                            modes[epoch_rng.randint(len(modes))]
                            for _ in range(cfg.batch.batch_size)),
-                       with_shapes=with_shapes)
+                       with_shapes=with_shapes), scenes
 
     os.makedirs(os.path.join(args.exp, args.outf), exist_ok=True)
     with open(os.path.join(args.exp, "args.json"), "w") as f:
@@ -196,10 +221,11 @@ def main(argv=None):
 
     mesh = make_mesh()
     key = jax.random.PRNGKey(args.seed)
-    batch0 = next_batch(rng)
+    batch0, scenes0 = next_batch(rng)
     with mesh:
         if v1_full:
-            state = trainer.init_state(key, batch0, shape_codes_for(batch0))
+            state = trainer.init_state(key, batch0,
+                                       shape_codes_for(batch0, scenes0))
         else:
             state = trainer.init_state(key, batch0)
         state = replicate_tree(mesh, state)
@@ -264,12 +290,13 @@ def main(argv=None):
                 batches = _sync_gen()
 
             steps_done = 0
-            for raw_batch in batches:
+            for raw_batch, raw_scenes in batches:
                 batch = shard_batch(mesh, raw_batch)
                 key, sub = jax.random.split(key)
                 if v1_full:
                     state, metrics = trainer.train_step(
-                        state, batch, shape_codes_for(raw_batch), sub)
+                        state, batch, shape_codes_for(raw_batch, raw_scenes),
+                        sub)
                 else:
                     state, metrics = trainer.train_step(state, batch, sub)
                 counter += 1

@@ -125,6 +125,18 @@ class SGFrontDataset:
                 out.setdefault(coarse, set()).add(mid)
         return {k: sorted(v) for k, v in out.items()}
 
+    def model_ids_for_scan(self, scan_id: str) -> Dict[int, str]:
+        """instance id → 3D-FUTURE model id for one scan (the per-object
+        jid the reference uses to read GT DeepSDF codes from disk,
+        model/VAE.py:38-46)."""
+        out: Dict[int, str] = {}
+        for inst in self.objs.get(scan_id, {}):
+            entry = self.box_data.get(scan_id, {}).get(str(inst))
+            if entry and entry.get("model_path"):
+                out[int(inst)] = os.path.basename(
+                    os.path.dirname(entry["model_path"]))
+        return out
+
     def normalize_box(self, param7: np.ndarray) -> np.ndarray:
         if self._stats7 is None:
             out = param7.copy()

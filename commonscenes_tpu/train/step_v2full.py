@@ -166,17 +166,25 @@ class V2FullTrainer:
         x_fake = self.boxD.features(batch.dec, jax.lax.stop_gradient(boxes_pred_in))
         x_real = self.boxD.features(batch.dec, dec_boxes)
 
-        def logits_sum_train(x):
+        def logits_sum_train(variables):
             # train-mode BN like the torch reference's D step; one forward
             # yields the loss logits AND the BN-stat refresh
-            logits, ups = self.boxD.apply(dvars, x, train=True,
-                                          mutable=["batch_stats"])
-            return jnp.sum(logits), (logits, ups)
+            def f(x):
+                logits, ups = self.boxD.apply(variables, x, train=True,
+                                              mutable=["batch_stats"])
+                return jnp.sum(logits), (logits, ups)
+            return f
 
-        (_, (logits_fake, _)), gx_fake = jax.value_and_grad(
-            logits_sum_train, has_aux=True)(x_fake)
+        # running stats refresh SEQUENTIALLY through both passes like the
+        # torch reference (D(fake) then D(real) each update BN stats);
+        # train-mode logits use batch statistics, so only the running-stat
+        # trajectory depends on the chaining
+        (_, (logits_fake, ups_fake)), gx_fake = jax.value_and_grad(
+            logits_sum_train(dvars), has_aux=True)(x_fake)
+        dvars_after_fake = {"params": disc_params,
+                            "batch_stats": ups_fake["batch_stats"]}
         (_, (logits_real, ups)), gx_real = jax.value_and_grad(
-            logits_sum_train, has_aux=True)(x_real)
+            logits_sum_train(dvars_after_fake), has_aux=True)(x_real)
 
         d_fake = _weighted_bce(logits_fake, 0.0, w_fake)
         d_real = _weighted_bce(logits_real, 1.0, w_real)

@@ -9,9 +9,16 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# the suite is compile-bound and its programs run for microseconds: skip
+# XLA's expensive optimization passes (measured: the DP-parity test drops
+# 110 s → 67 s cold). Opt out with JAX_TEST_FULL_OPT=1.
+if not os.environ.get("JAX_TEST_FULL_OPT"):
+    if "xla_backend_optimization_level" not in flags:
+        flags += " --xla_backend_optimization_level=0"
+    if "xla_llvm_disable_expensive_passes" not in flags:
+        flags += " --xla_llvm_disable_expensive_passes=true"
+os.environ["XLA_FLAGS"] = flags
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -22,6 +29,16 @@ import jax  # noqa: E402
 # suite runs hermetically on the virtual 8-device host mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
+
+# persistent compile cache: the suite is compile-bound on the 1-core host
+# (~33 min cold); cached re-runs skip the XLA work entirely
+_cache = os.environ.get("JAX_TEST_CACHE_DIR", "/tmp/jax_test_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:
+    pass
 
 assert jax.devices()[0].platform == "cpu", (
     "tests must run on the virtual CPU mesh, got " + str(jax.devices()))

@@ -381,6 +381,100 @@ def test_ddim_chain_parity(unet_pair):
         rtol=5e-3, atol=5e-4)
 
 
+def _cpu_plms_sampler(fake):
+    # the reference plms.py imports from 'models.*' (plural) though the
+    # package on disk is 'model' — alias it (plms.py:11)
+    import sys as _sys
+    if "models" not in _sys.modules:
+        import model as _model_pkg
+        _sys.modules["models"] = _model_pkg
+    from model.networks.diffusion_networks.samplers.plms import PLMSSampler
+
+    class CPUPLMS(PLMSSampler):
+        # the reference register_buffer force-moves to CUDA (plms.py:21-25)
+        def register_buffer(self, name, attr):
+            if isinstance(attr, torch.Tensor):
+                attr = attr.float()
+            setattr(self, name, attr)
+
+    return CPUPLMS(fake)
+
+
+def test_plms_chain_parity(unet_pair):
+    """plms_sample vs the reference PLMSSampler (samplers/plms.py:14-247):
+    full 5-step CFG chain (RK2 warm start + 2nd/3rd/4th-order
+    Adams-Bashforth) through converted weights, and the warm-start first
+    step alone at a tight tolerance."""
+    tun, jun, params = unet_pair
+    fake = _FakeDiffusion(tun, timesteps=50)
+    sampler = _cpu_plms_sampler(fake)
+    S = 5
+    sampler.make_schedule(ddim_num_steps=S, ddim_eta=0.0, verbose=False)
+
+    rng = np.random.RandomState(11)
+    x_T = rng.randn(2, 8, 8, 8, 3).astype(np.float32)
+    cond = rng.randn(2, 2, 40).astype(np.float32)
+    uncond = rng.randn(2, 2, 40).astype(np.float32)
+
+    # --- torch chain (= plms_sampling loop, plms.py:131-178) ---
+    xt = torch.from_numpy(x_T.transpose(0, 4, 1, 2, 3))
+    time_range = np.flip(sampler.ddim_timesteps)
+    old_eps = []
+    stepwise = []
+    with torch.no_grad():
+        for i, step in enumerate(time_range):
+            index = S - i - 1
+            ts = torch.full((2,), int(step), dtype=torch.long)
+            ts_next = torch.full(
+                (2,), int(time_range[min(i + 1, len(time_range) - 1)]),
+                dtype=torch.long)
+            xt, _, e_t = sampler.p_sample_plms(
+                xt, torch.from_numpy(cond), ts, index=index,
+                unconditional_guidance_scale=3.0,
+                unconditional_conditioning=torch.from_numpy(uncond),
+                old_eps=old_eps, t_next=ts_next)
+            old_eps.append(e_t)
+            if len(old_eps) >= 4:
+                old_eps.pop(0)
+            stepwise.append(t2n(xt))
+
+    # --- jax chain ---
+    from commonscenes_tpu.diffusion.plms import plms_sample
+    from commonscenes_tpu.diffusion.schedule import (make_ddim_tables,
+                                                     make_noise_schedule)
+    sched = make_noise_schedule(timesteps=50)
+    tables = make_ddim_tables(sched, S, eta=0.0)
+    np.testing.assert_array_equal(tables.timesteps, sampler.ddim_timesteps)
+    np.testing.assert_allclose(tables.alphas,
+                               np.asarray(sampler.ddim_alphas),
+                               rtol=1e-6, atol=1e-8)
+
+    def denoise_fn(x, t, c):
+        return jun.apply({"params": params}, x, t, c)
+
+    x0 = plms_sample(denoise_fn, tables, jnp.asarray(x_T), jnp.asarray(cond),
+                     uncond=jnp.asarray(uncond), uc_scale=3.0)
+    np.testing.assert_allclose(
+        np.asarray(x0).transpose(0, 4, 1, 2, 3), stepwise[-1],
+        rtol=5e-3, atol=5e-4)
+
+    # --- warm start + 2nd-order AB alone at a tighter tolerance: the last
+    # two grid points form a self-consistent 2-step chain whose first step
+    # sees the same t_next as the full run's first step ---
+    import dataclasses
+    two = dataclasses.replace(
+        tables,
+        timesteps=tables.timesteps[-2:], alphas=tables.alphas[-2:],
+        alphas_prev=tables.alphas_prev[-2:],
+        sqrt_one_minus_alphas=tables.sqrt_one_minus_alphas[-2:],
+        sigmas=tables.sigmas[-2:])
+    x2 = plms_sample(denoise_fn, two, jnp.asarray(x_T), jnp.asarray(cond),
+                     uncond=jnp.asarray(uncond), uc_scale=3.0)
+    np.testing.assert_allclose(
+        np.asarray(x2).transpose(0, 4, 1, 2, 3), stepwise[1],
+        rtol=1e-3, atol=1e-4)
+
+
 # ---------------------------------------------------------------------------
 # losses
 # ---------------------------------------------------------------------------

@@ -38,7 +38,8 @@ def tiny_cfg():
 
 def make_batch(cfg, seed=0):
     rng = np.random.RandomState(seed)
-    scenes = [make_scene(VOCAB, rng, num_objs=5, sdf_res=16, clip_dim=32)
+    scenes = [make_scene(VOCAB, rng, num_objs=5, sdf_res=cfg.batch.sdf_res,
+                         clip_dim=32)
               for _ in range(cfg.batch.batch_size)]
     return collate(scenes, VOCAB, cfg.batch, rng, clip_dim=32,
                    manipulation_modes=("addition", "relationship"),
