@@ -244,6 +244,11 @@ def main(argv=None):
         from commonscenes_tpu.train.step_v1full import V1FullTrainer
         model = V1FullVAE(num_obj_classes=vocab.num_obj_classes,
                           num_pred_classes=vocab.num_pred_classes,
+                          embedding_dim=cfg.layout.embedding_dim,
+                          gconv_num_layers=cfg.layout.gconv_num_layers,
+                          gconv_num_shared_layers=(
+                              cfg.layout.gconv_num_shared_layers),
+                          shape_input_dim=cfg.layout.shape_input_dim,
                           gconv_pooling=cfg.layout.gconv_pooling,
                           residual=cfg.layout.residual,
                           use_angles=cfg.layout.use_angles,
@@ -252,12 +257,13 @@ def main(argv=None):
                           dtype=dtype)
         trainer = V1FullTrainer(cfg, model, vocab.num_obj_classes,
                                 vocab.num_pred_classes)
-        codes0 = jnp.asarray(pseudo_shape_codes(np.asarray(batch0.dec.objs)))
+        codes0 = jnp.asarray(pseudo_shape_codes(
+            np.asarray(batch0.dec.objs), dim=cfg.layout.shape_input_dim))
         state = trainer.init_state(jax.random.PRNGKey(0), batch0, codes0)
         if os.path.exists(ckpt):
-            import orbax.checkpoint as ocp
-            ckptr = ocp.StandardCheckpointer()
-            state = ckptr.restore(os.path.abspath(ckpt), target=state)
+            from commonscenes_tpu.train.checkpoints import \
+                restore_v1_checkpoint
+            state, _ = restore_v1_checkpoint(ckpt, state)
             print(f"[*] loaded {ckpt}")
         else:
             print(f"[!] checkpoint {ckpt} missing — evaluating random init")
@@ -276,7 +282,8 @@ def main(argv=None):
             mesh_base = os.path.join(deepsdf_root, "Meshes")
         else:
             retrieval = ShapeRetrieval(
-                {f"class_{c}": pseudo_shape_codes(np.asarray([c]))[0]
+                {f"class_{c}": pseudo_shape_codes(
+                    np.asarray([c]), dim=cfg.layout.shape_input_dim)[0]
                  for c in range(vocab.num_obj_classes)},
                 class_to_ids={vocab.obj_classes[c]: [f"class_{c}"]
                               for c in range(vocab.num_obj_classes)})
@@ -328,7 +335,8 @@ def main(argv=None):
                 return mu
 
             def encode_fn(enc):
-                codes = jnp.asarray(pseudo_shape_codes(np.asarray(enc.objs)))
+                codes = jnp.asarray(pseudo_shape_codes(
+                    np.asarray(enc.objs), dim=cfg.layout.shape_input_dim))
                 return _enc_v1(enc, codes)
         else:
             from commonscenes_tpu.models.layout_vae import LayoutVAE
@@ -451,7 +459,8 @@ def main(argv=None):
             key, sub = jax.random.split(key)
 
             if v1_full and manip != "none":
-                codes = jnp.asarray(pseudo_shape_codes(np.asarray(b.dec.objs)))
+                codes = jnp.asarray(pseudo_shape_codes(
+                    np.asarray(b.dec.objs), dim=cfg.layout.shape_input_dim))
                 out = v1_manip_fn(b, codes, sub)
                 keep = np.asarray(out["keep"])
             elif v1_full:

@@ -13,8 +13,12 @@ Migration path for users of ymxlzgy/commonscenes: point this at a merged
    (layout GCN/heads, UNet denoiser, VQ-VAE; NCDHW→NDHWC + Linear
    transposes), validated by tests/test_torch_parity.py to fp32 forward
    equality;
-3. the torch Adam moments are NOT mapped (different optimizer algebra);
-   resume restarts optimizer state at the checkpoint's step counter.
+3. the torch AdamW moments ARE mapped (train/checkpoints.
+   import_reference_adam_moments: exp_avg/exp_avg_sq converted through the
+   same permutation converters as their weights, step count seated into
+   the optax chain) so resumed training continues the reference optimizer
+   trajectory; a checkpoint without an 'opt' sub-dict falls back to cold
+   moments with a notice.
 """
 
 from __future__ import annotations
@@ -65,9 +69,23 @@ def main(argv=None):
         save_checkpoint)
     from commonscenes_tpu.train.step_v2full import V2FullTrainer
 
-    merged = torch.load(args.pth, map_location="cpu")
+    try:
+        merged = torch.load(args.pth, map_location="cpu")
+    except Exception:
+        # reference v1_full checkpoints pickle the WHOLE module object
+        # (model/VAE.py:110-115) which torch>=2.6 refuses under the
+        # weights_only default — the user explicitly pointed us at this
+        # file, so load it the way the reference does
+        merged = torch.load(args.pth, map_location="cpu",
+                            weights_only=False)
     if hasattr(merged, "state_dict"):
         merged = merged.state_dict()
+
+    # v1_full (Graph-to-3D) whole-module checkpoints (model/VAE.py:110-115)
+    # have the dual-branch embedding names
+    if any(str(k).startswith("obj_embeddings_ec_box") for k in merged):
+        return _import_v1full(args, merged)
+
     hp = infer_reference_layout_hparams(
         {k: v for k, v in merged.items()
          if isinstance(v, torch.Tensor)})
@@ -190,6 +208,40 @@ def main(argv=None):
         gen_stats={"layout": layout_stats},
         vqvae_params=out["vqvae"])
 
+    # Adam-moment migration (reference load_networks restores the 'opt'
+    # sub-dict, model/VAE.py:120-148); falls back to cold optimizer state
+    # with a loud warning when the layouts cannot be aligned
+    opt_sd = merged.get("opt")
+    if opt_sd and opt_sd.get("state"):
+        from commonscenes_tpu.train.checkpoints import (
+            import_reference_adam_moments, seat_adam_moments)
+        layout_sd = {k: v for k, v in merged.items()
+                     if isinstance(v, torch.Tensor)}
+        unet_kwargs = dict(
+            model_channels=cfg.unet.model_channels,
+            channel_mult=tuple(cfg.unet.channel_mult),
+            num_res_blocks=cfg.unet.num_res_blocks,
+            attention_resolutions=tuple(cfg.unet.attention_resolutions),
+            transformer_depth=cfg.unet.transformer_depth)
+        try:
+            mu, nu, opt_count = import_reference_adam_moments(
+                layout_sd, merged["df"], opt_sd,
+                layout_kwargs=dict(num_gcn_layers=hp["gconv_num_layers"],
+                                   pooling=hp["gconv_pooling"],
+                                   residual=hp["residual"],
+                                   use_angles=hp["use_angles"],
+                                   use_e2=hp["use_e2"]),
+                unet_kwargs=unet_kwargs)
+            state = state.replace(
+                gen_opt=seat_adam_moments(state.gen_opt, mu, nu, opt_count))
+            print(f"[*] restored Adam moments (step={opt_count})")
+        except Exception as e:  # noqa: BLE001
+            print(f"[!] could not map optimizer moments ({e!r}); resume "
+                  f"starts with cold optimizer state", file=sys.stderr)
+    else:
+        print("[*] checkpoint carries no optimizer state — resume starts "
+              "with cold optimizer moments")
+
     epoch = args.epoch if args.epoch >= 0 else out["epoch"]
     ckpt_dir = os.path.join(args.exp, "checkpoint")
     os.makedirs(ckpt_dir, exist_ok=True)
@@ -224,3 +276,136 @@ def main(argv=None):
 if __name__ == "__main__":
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
     main()
+
+
+def _import_v1full(args, merged):
+    """Migrate a reference v1_full (Graph-to-3D) whole-module .pth
+    (model/VAE.py:110-115) into an orbax experiment evaluable by
+    cli/eval_3dfront.py --network_type v1_full."""
+    import torch  # noqa: F401  (caller imported; kept for clarity)
+
+    import jax
+    import jax.numpy as jnp
+
+    from commonscenes_tpu.core.config import FullConfig, LayoutConfig
+    from commonscenes_tpu.data.collate import collate
+    from commonscenes_tpu.data.vocab import Vocab
+    from commonscenes_tpu.models.v1_full import (V1FullVAE,
+                                                 pseudo_shape_codes)
+    from commonscenes_tpu.train.checkpoints import (
+        import_reference_v1full, infer_reference_v1full_hparams,
+        save_v1_checkpoint)
+    from commonscenes_tpu.train.step_v1full import V1FullTrainer
+
+    sd = {k: v for k, v in merged.items() if hasattr(v, "shape")}
+    hp = infer_reference_v1full_hparams(sd)
+    if args.pooling is not None:
+        hp["gconv_pooling"] = args.pooling
+    elif hp["gconv_pooling"] == "avg":
+        print("[!] gconv_pooling GUESSED as 'avg' (see v2 note); pass "
+              "--pooling sum to override", file=sys.stderr)
+    print("[*] inferred v1_full hyperparameters:",
+          json.dumps(hp, default=str))
+
+    if args.dataset != "synthetic":
+        vocab = Vocab.from_sgfront(args.dataset, args.room_type)
+        assert vocab.num_obj_classes == hp["num_obj_classes"]
+        assert vocab.num_pred_classes == hp["num_pred_classes"]
+    else:
+        names = ["_scene_"] + [f"class_{i:02d}"
+                               for i in range(hp["num_obj_classes"] - 1)]
+        preds = ["in"] + [f"rel_{i:02d}"
+                          for i in range(hp["num_pred_classes"] - 1)]
+        vocab = Vocab(obj_classes=sorted(names),
+                      obj_classes_grained=sorted(names), predicates=preds)
+
+    cfg = FullConfig()
+    cfg = cfg.replace(layout=LayoutConfig(
+        embedding_dim=hp["embedding_dim"],
+        gconv_num_layers=hp["gconv_num_layers"],
+        gconv_pooling=hp["gconv_pooling"],
+        residual=hp["residual"], use_angles=hp["use_angles"],
+        num_box_params=hp["num_box_params"]))
+
+    model = V1FullVAE(
+        num_obj_classes=vocab.num_obj_classes,
+        num_pred_classes=vocab.num_pred_classes,
+        embedding_dim=hp["embedding_dim"],
+        gconv_num_layers=hp["gconv_num_layers"],
+        gconv_num_shared_layers=hp["gconv_num_shared_layers"],
+        gconv_pooling=hp["gconv_pooling"], residual=hp["residual"],
+        use_angles=hp["use_angles"],
+        num_box_params=hp["num_box_params"],
+        shape_input_dim=hp["shape_input_dim"])
+    trainer = V1FullTrainer(cfg, model, vocab.num_obj_classes,
+                            vocab.num_pred_classes)
+
+    from commonscenes_tpu.data.collate import RawScene
+    rng = np.random.RandomState(0)
+
+    def dummy_scene(i, n=5, m=6):
+        return RawScene(
+            objs=rng.randint(0, vocab.num_obj_classes, n).astype(np.int32),
+            objs_grained=np.zeros(n, np.int32),
+            triples=np.stack([rng.randint(0, n, m),
+                              rng.randint(0, vocab.num_pred_classes, m),
+                              rng.randint(0, n, m)], 1).astype(np.int32),
+            boxes=rng.randn(n, hp["num_box_params"]).astype(np.float32),
+            angles=rng.randint(0, 24, n).astype(np.int32),
+            text_feats=None, rel_feats=None, sdfs=None, has_sdf=None,
+            scan_id=f"template-{i}")
+
+    bc = cfg.batch.__class__(batch_size=2, max_objs=cfg.batch.max_objs,
+                             max_triples=cfg.batch.max_triples,
+                             diffusion_bs=2, sdf_res=cfg.batch.sdf_res)
+    batch = collate([dummy_scene(i) for i in range(2)], vocab, bc, rng,
+                    use_clip=False)
+    codes = jnp.asarray(pseudo_shape_codes(np.asarray(batch.dec.objs),
+                                           dim=hp["shape_input_dim"]))
+    state = trainer.init_state(jax.random.PRNGKey(0), batch, codes)
+
+    params, stats = import_reference_v1full(
+        sd, num_gcn_layers=hp["gconv_num_layers"],
+        num_shared_layers=hp["gconv_num_shared_layers"],
+        pooling=hp["gconv_pooling"], residual=hp["residual"],
+        use_angles=hp["use_angles"])
+
+    def paths(tree):
+        return {jax.tree_util.keystr(pp)
+                for pp, _ in jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+    missing = paths(state.params) - paths(params)
+    extra = paths(params) - paths(state.params)
+    assert not missing and not extra, (
+        f"v1_full tree mismatch: missing={sorted(missing)[:5]} "
+        f"extra={sorted(extra)[:5]}")
+    # per-leaf shape check (the reference shape_net output is hard-coded to
+    # 256, VAEGAN_V1FULL.py:172 — a shape_input_dim!=256 checkpoint cannot
+    # round-trip through our coupled in/out width)
+    tpl = {jax.tree_util.keystr(pp): v.shape for pp, v in
+           jax.tree_util.tree_flatten_with_path(state.params)[0]}
+    for pp, v in jax.tree_util.tree_flatten_with_path(params)[0]:
+        k = jax.tree_util.keystr(pp)
+        assert tuple(v.shape) == tuple(tpl[k]), (
+            f"shape mismatch at {k}: checkpoint {v.shape} vs model {tpl[k]}")
+
+    state = state.replace(params=params, stats=stats)
+    epoch = args.epoch if args.epoch >= 0 else 0
+    ckpt_dir = os.path.join(args.exp, "checkpoint")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    save_v1_checkpoint(os.path.join(ckpt_dir, f"model_{epoch}"),
+                       jax.device_get(state), epoch=epoch)
+    with open(os.path.join(args.exp, "args.json"), "w") as f:
+        json.dump({"network_type": "v1_full", "outf": "checkpoint",
+                   "with_CLIP": False, "with_SDF": False,
+                   "pooling": hp["gconv_pooling"],
+                   "residual": hp["residual"],
+                   "layout": {"embedding_dim": hp["embedding_dim"],
+                              "gconv_num_layers": hp["gconv_num_layers"],
+                              "gconv_num_shared_layers":
+                                  hp["gconv_num_shared_layers"],
+                              "shape_input_dim": hp["shape_input_dim"],
+                              "num_box_params": hp["num_box_params"]},
+                   "imported_from": os.path.abspath(args.pth)}, f, indent=2)
+    print(f"[*] wrote {ckpt_dir}/model_{epoch} (v1_full)")
+    return epoch

@@ -89,6 +89,10 @@ def build_config(args):
     else:
         cfg = FullConfig()
     use_clip = args.with_CLIP and args.network_type != "v1_box"
+    # v1_full runs at embedding_dim=128 (reference VAE.py:48); the v2
+    # variants at 64 (VAE.py:57)
+    layout_extra = ({"embedding_dim": 128}
+                    if args.network_type == "v1_full" else {})
     cfg = cfg.replace(
         network_type=args.network_type,
         layout=LayoutConfig(
@@ -96,7 +100,7 @@ def build_config(args):
             use_angles=args.with_angles, num_box_params=args.num_box_params,
             use_clip=use_clip, use_e2=args.use_E2,
             replace_latent=args.replace_latent,
-            with_changes=args.with_changes),
+            with_changes=args.with_changes, **layout_extra),
         batch=BatchConfig(
             batch_size=args.batchSize, max_objs=args.max_objs,
             max_triples=args.max_triples,
@@ -157,6 +161,11 @@ def main(argv=None):
         from commonscenes_tpu.train.step_v1full import V1FullTrainer
         model = V1FullVAE(num_obj_classes=vocab.num_obj_classes,
                           num_pred_classes=vocab.num_pred_classes,
+                          embedding_dim=cfg.layout.embedding_dim,
+                          gconv_num_layers=cfg.layout.gconv_num_layers,
+                          gconv_num_shared_layers=(
+                              cfg.layout.gconv_num_shared_layers),
+                          shape_input_dim=cfg.layout.shape_input_dim,
                           gconv_pooling=cfg.layout.gconv_pooling,
                           residual=cfg.layout.residual,
                           use_angles=cfg.layout.use_angles,
@@ -237,13 +246,12 @@ def main(argv=None):
             print(f"[*] resumed from epoch {start_epoch}, "
                   f"counter {int(state.step)}")
         elif args.loadmodel and v1_full:
-            import orbax.checkpoint as ocp
-            ckptr = ocp.StandardCheckpointer()
-            state = ckptr.restore(
-                os.path.abspath(os.path.join(
-                    ckpt_dir, f"model_{args.loadepoch}")), target=state)
-            start_epoch = args.loadepoch
-            print(f"[*] resumed v1_full from epoch {start_epoch}")
+            from commonscenes_tpu.train.checkpoints import \
+                restore_v1_checkpoint
+            state, start_epoch = restore_v1_checkpoint(
+                os.path.join(ckpt_dir, f"model_{args.loadepoch}"), state)
+            print(f"[*] resumed v1_full from epoch {start_epoch}, "
+                  f"counter {int(state.step)}")
 
         steps = args.steps_per_epoch or max(1, len(dataset) // cfg.batch.batch_size)
         log_path = os.path.join(args.exp, args.logf)
@@ -324,12 +332,11 @@ def main(argv=None):
                   f"{steps_done}/{steps} steps)")
             if epoch % 15 == 0 or epoch == args.nepoch - 1:
                 if v1_full:
-                    import orbax.checkpoint as ocp
-                    ckptr = ocp.StandardCheckpointer()
-                    ckptr.save(os.path.abspath(os.path.join(
-                        ckpt_dir, f"model_{epoch}")),
-                        jax.device_get(state), force=True)
-                    ckptr.wait_until_finished()
+                    from commonscenes_tpu.train.checkpoints import \
+                        save_v1_checkpoint
+                    save_v1_checkpoint(os.path.join(ckpt_dir,
+                                                    f"model_{epoch}"),
+                                       jax.device_get(state), epoch=epoch)
                 else:
                     save_checkpoint(os.path.join(ckpt_dir, f"model_{epoch}"),
                                     jax.device_get(state), epoch=epoch)

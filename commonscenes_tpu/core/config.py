@@ -175,6 +175,10 @@ class LayoutConfig:
     use_e2: bool = True                  # relation encoder feeding diffusion
     replace_latent: bool = True
     with_changes: bool = True
+    # v1_full (Graph-to-3D) extras (VAEGAN_V1FULL.py:13-31 call site
+    # model/VAE.py:46-51): shared-GCN depth + DeepSDF code width
+    gconv_num_shared_layers: int = 5
+    shape_input_dim: int = 256
     # diffusion conditioning token width (rel_mlp output;
     # VAEGAN_V2FULL.py:152-155): 1280 for crossattn, 4096 for concat
     rel_hidden_crossattn: int = 960

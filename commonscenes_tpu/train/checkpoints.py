@@ -427,9 +427,9 @@ def import_reference_v2full_checkpoint(merged_sd: Dict[str, Any],
     ``unet_kwargs`` are the UNet geometry args for ``import_reference_unet``.
 
     Returns dict(layout=(params, stats), vqvae=params|None, df=params|None,
-    epoch=int, counter=int). The torch Adam 'opt' state is not mapped — the
-    optimizers are different algebra (optax chains); resume across frameworks
-    restarts optimizer moments, as documented in PARITY.md.
+    epoch=int, counter=int). The torch AdamW 'opt' state is mapped
+    separately by ``import_reference_adam_moments`` (the algebras align
+    exactly — see its docstring); this function only splits the weights.
     """
     sd = dict(merged_sd)
     vq_sd = sd.pop("vqvae", None)
@@ -530,3 +530,252 @@ def import_reference_vqvae(torch_state_dict: Dict[str, Any],
     emb = sd["quantize.embedding.weight"]
     put(["quantize", "embedding"], emb + 1.0 / emb.shape[0])
     return params
+
+
+# ---------------------------------------------------------------------------
+# optimizer-moment migration
+# ---------------------------------------------------------------------------
+
+_TORCH_BUFFER_SUFFIXES = ("running_mean", "running_var",
+                          "num_batches_tracked")
+
+
+def _torch_param_names(sd: Dict[str, Any]):
+    """Parameter names of a torch state dict in module order = the order of
+    ``module.parameters()``: state_dict preserves registration order and the
+    only buffers in this model family are the BatchNorm running stats."""
+    return [k for k in sd
+            if not k.endswith(_TORCH_BUFFER_SUFFIXES)
+            and not k.startswith("Diff.")]
+
+
+def import_reference_adam_moments(layout_sd: Dict[str, Any],
+                                  df_sd: Dict[str, Any],
+                                  opt_sd: Dict[str, Any],
+                                  layout_kwargs: Dict[str, Any],
+                                  unet_kwargs: Dict[str, Any]):
+    """Map the reference AdamW state (``opt`` sub-dict of the merged .pth,
+    model/VAE.py:120-148 ``load_networks``) onto our optax trees.
+
+    The reference optimizer is ``AdamW(vae_v2.parameters() +
+    Diff.trainable_params)`` (VAEGAN_V2FULL.py:635-650,
+    sdfusion_txt2shape_model.py:96-101 — the df only; the vqvae is frozen),
+    so state index i maps to the i-th parameter of the layout module
+    followed by the UNet. Adam moments are elementwise and shaped exactly
+    like their parameters, so each ``exp_avg``/``exp_avg_sq`` tensor is
+    converted through the SAME reshape/transpose converters as the weight
+    it tracks (all converters are permutations — moment-safe). The optimizer
+    algebras align exactly: torch AdamW's decoupled decay
+    ``p -= lr*(m_hat/(sqrt(v_hat)+eps) + wd*p)`` is optax.adamw's update
+    rule, and both bias-correct from an integer step count.
+
+    Returns (mu_tree, nu_tree, count) where the trees have the
+    ``{"layout": ..., "df": {"unet": ...}}`` structure of gen_params.
+    Raises ValueError when the state cannot be aligned (e.g. a parameter
+    count mismatch from a frozen subset we cannot see).
+    """
+    names_layout = _torch_param_names(layout_sd)
+    names_df = _torch_param_names(df_sd)
+    names = names_layout + names_df
+    groups = opt_sd.get("param_groups", [])
+    n_opt = sum(len(g.get("params", [])) for g in groups)
+    if n_opt != len(names):
+        raise ValueError(
+            f"optimizer has {n_opt} params but layout+df expose "
+            f"{len(names)} — cannot align moment order")
+    state = opt_sd.get("state", {})
+
+    def moment_sd(base_sd, offset, count, key):
+        """Copy of base_sd with parameter tensors replaced by their
+        moment (zeros when torch never touched the param)."""
+        out = dict(base_sd)
+        for j, name in enumerate(names[offset:offset + count]):
+            ent = state.get(offset + j)
+            out[name] = (_t2n(ent[key]) if ent is not None and key in ent
+                         else np.zeros_like(_t2n(base_sd[name])))
+        return out
+
+    trees = {}
+    for key in ("exp_avg", "exp_avg_sq"):
+        lay, _ = import_reference_layout(
+            moment_sd(layout_sd, 0, len(names_layout), key),
+            **layout_kwargs)
+        df = import_reference_unet(
+            moment_sd(df_sd, len(names_layout), len(names_df), key),
+            **unet_kwargs)
+        trees[key] = {"layout": lay, "df": {"unet": df}}
+
+    steps = [int(ent["step"]) for ent in state.values() if "step" in ent]
+    count = max(steps) if steps else 0
+    return trees["exp_avg"], trees["exp_avg_sq"], count
+
+
+def seat_adam_moments(opt_state, mu, nu, count: int):
+    """Seat converted moments into an optax chain state (adamw =
+    scale_by_adam → add_decayed_weights → scale_by_learning_rate): the
+    ScaleByAdamState gets (count, mu, nu); every other stateful link with a
+    ``count`` (the LR schedule) gets the step counter so the reference's
+    re-seated LambdaLR (VAE.py:146-148) is reproduced."""
+    import jax.numpy as jnp
+    c = jnp.asarray(count, jnp.int32)
+    new = []
+    for s in opt_state:
+        fields = getattr(s, "_fields", ())
+        if "mu" in fields and "nu" in fields:
+            s = s._replace(count=c, mu=mu, nu=nu)
+        elif "count" in fields:
+            s = s._replace(count=c)
+        new.append(s)
+    return type(opt_state)(new) if isinstance(opt_state, list) \
+        else tuple(new)
+
+
+# ---------------------------------------------------------------------------
+# v1_full (Graph-to-3D) checkpoint interop
+# ---------------------------------------------------------------------------
+
+def infer_reference_v1full_hparams(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Recover the v1_full Sg2ScVAEModel hyperparameters from its state dict
+    (VAEGAN_V1FULL.py:13-188 construction rules). As with v2, pooling
+    'sum' vs 'avg' is not recoverable (identical params) — returned 'avg';
+    replace_latent is a forward-only flag with no parameters."""
+    keys = set(sd.keys())
+    ed = sd["obj_embeddings_ec_box.weight"].shape[1]
+    num_obj = sd["obj_embeddings_ec_box.weight"].shape[0] - 1
+    num_pred = sd["pred_embeddings_ec_box.weight"].shape[0]
+    layers = 1 + max((int(k.split(".")[2]) for k in keys
+                      if k.startswith("gconv_net_ec_box.gconvs.")), default=0)
+    shared = 1 + max((int(k.split(".")[2]) for k in keys
+                      if k.startswith("gconv_net_shared.gconvs.")), default=0)
+    residual = any(".linear_projection." in k for k in keys
+                   if k.startswith("gconv_net_ec_box."))
+    pooling = "wAvg" if any(".weightNet." in k for k in keys) else "avg"
+    use_angles = any(k.startswith("angle_net.") for k in keys)
+    box_lin = sorted((k for k in keys if k.startswith("box_net.")
+                      and k.endswith(".weight") and sd[k].ndim == 2),
+                     key=lambda k: int(k.split(".")[1]))
+    num_box_params = int(sd[box_lin[-1]].shape[0]) if box_lin else 6
+    shape_input_dim = int(sd["shape_embeddings.weight"].shape[1])
+    return {"embedding_dim": int(ed), "num_obj_classes": int(num_obj),
+            "num_pred_classes": int(num_pred),
+            "gconv_num_layers": int(layers),
+            "gconv_num_shared_layers": int(shared),
+            "residual": bool(residual), "gconv_pooling": pooling,
+            "use_angles": bool(use_angles),
+            "num_box_params": num_box_params,
+            "shape_input_dim": shape_input_dim}
+
+
+def import_reference_v1full(torch_state_dict: Dict[str, Any],
+                            num_gcn_layers: int = 5,
+                            num_shared_layers: int = 5,
+                            pooling: str = "avg",
+                            residual: bool = False,
+                            use_angles: bool = True):
+    """Reference v1_full ``Sg2ScVAEModel`` state dict (the whole-module
+    .pth of model/VAE.py:110-115, module names VAEGAN_V1FULL.py:64-188) →
+    our ``V1FullVAE`` parameter tree.
+
+    Returns (params, batch_stats).
+    """
+    sd = {k: _t2n(v) for k, v in torch_state_dict.items()}
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    embeds = {
+        "obj_embeddings_ec_box": "obj_embed_ec_box",
+        "obj_embeddings_ec_shape": "obj_embed_ec_shape",
+        "pred_embeddings_ec_box": "pred_embed_ec_box",
+        "pred_embeddings_ec_shape": "pred_embed_ec_shape",
+        "obj_embeddings_dc_box": "obj_embed_dc_box",
+        "obj_embeddings_dc_man": "obj_embed_dc_man",
+        "obj_embeddings_dc_shape": "obj_embed_dc_shape",
+        "pred_embeddings_dc_box": "pred_embed_dc_box",
+        "pred_embeddings_dc_shape": "pred_embed_dc_shape",
+        "pred_embeddings_man_dc": "pred_embed_man_dc",
+    }
+    for src, dst in embeds.items():
+        if f"{src}.weight" in sd:
+            params[dst] = {"embedding": sd[f"{src}.weight"]}
+
+    params["box_embed"] = convert_torch_linear(
+        sd["box_embeddings.weight"], sd.get("box_embeddings.bias"))
+    params["shape_embed"] = convert_torch_linear(
+        sd["shape_embeddings.weight"], sd.get("shape_embeddings.bias"))
+    if use_angles and "angle_embeddings.weight" in sd:
+        params["angle_embed"] = {"embedding": sd["angle_embeddings.weight"]}
+
+    mlps = ["box_mean_var", "box_mean", "box_var", "shape_mean_var",
+            "shape_mean", "shape_var", "box_net", "shape_net"]
+    if use_angles:
+        mlps += ["angle_mean_var", "angle_mean", "angle_var", "angle_net"]
+    for name in mlps:
+        if any(k.startswith(name + ".") for k in sd):
+            p, s = import_torch_mlp(sd, name)
+            params[name] = p
+            if s:
+                stats[name] = s
+
+    gcns = {"gconv_net_ec_box": ("gconv_ec_box", num_gcn_layers),
+            "gconv_net_ec_shape": ("gconv_ec_shape", num_gcn_layers),
+            "gconv_net_shared": ("gconv_shared", num_shared_layers),
+            "gconv_net_dec_box": ("gconv_dec_box", num_gcn_layers),
+            "gconv_net_dec_shape": ("gconv_dec_shape", num_gcn_layers),
+            "gconv_net_manipulation": ("gconv_manipulation", num_gcn_layers)}
+    for src, (dst, n_layers) in gcns.items():
+        if not any(k.startswith(src + ".") for k in sd):
+            continue
+        sub = {k[len(src) + 1:]: v for k, v in sd.items()
+               if k.startswith(src + ".")}
+        p, s = import_reference_gcn(sub, "", n_layers, pooling, residual)
+        params[dst] = p
+        if s:
+            stats[dst] = s
+    return params, stats
+
+
+def save_v1_checkpoint(path: str, state, epoch: int = 0) -> None:
+    """v1_full counterpart of save_checkpoint: reference-like sub-trees
+    (vae / aux shape discriminator / box discriminator / opt / meta)."""
+    import orbax.checkpoint as ocp
+    tree = {
+        "vae": state.params,
+        "batch_stats": {"vae": state.stats or {},
+                        "aux": state.aux_stats or {},
+                        "boxd": state.boxd_stats or {}},
+        "aux": state.aux_params or {},
+        "boxd": state.boxd_params or {},
+        "opt": {"vae": state.opt, "aux": state.aux_opt,
+                "boxd": state.boxd_opt},
+        "meta": {"epoch": np.asarray(epoch),
+                 "counter": np.asarray(state.step)},
+    }
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), tree, force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_v1_checkpoint(path: str, state):
+    """Restore into a V1TrainState template; returns (state, epoch)."""
+    import orbax.checkpoint as ocp
+    template = {
+        "vae": state.params,
+        "batch_stats": {"vae": state.stats or {},
+                        "aux": state.aux_stats or {},
+                        "boxd": state.boxd_stats or {}},
+        "aux": state.aux_params or {},
+        "boxd": state.boxd_params or {},
+        "opt": {"vae": state.opt, "aux": state.aux_opt,
+                "boxd": state.boxd_opt},
+        "meta": {"epoch": np.asarray(0), "counter": np.asarray(state.step)},
+    }
+    ckptr = ocp.StandardCheckpointer()
+    tree = ckptr.restore(os.path.abspath(path), target=template)
+    new_state = state.replace(
+        step=jax.numpy.asarray(tree["meta"]["counter"]),
+        params=tree["vae"], stats=tree["batch_stats"]["vae"],
+        aux_params=tree["aux"], aux_stats=tree["batch_stats"]["aux"],
+        boxd_params=tree["boxd"], boxd_stats=tree["batch_stats"]["boxd"],
+        opt=tree["opt"]["vae"], aux_opt=tree["opt"]["aux"],
+        boxd_opt=tree["opt"]["boxd"])
+    return new_state, int(tree["meta"]["epoch"])

@@ -77,10 +77,23 @@ network:
 """)
 
     torch.manual_seed(11)
-    merged = dict(_TorchLayout().state_dict())
+    lay = _TorchLayout()
+    unet = _torch_unet()
+    # real AdamW state over layout+df params in reference order
+    # (VAEGAN_V2FULL.py:635-650): a few steps with synthetic grads so
+    # exp_avg/exp_avg_sq are populated
+    opt = torch.optim.AdamW(list(lay.parameters()) + list(unet.parameters()),
+                            lr=1e-4)
+    g = torch.Generator().manual_seed(3)
+    for _ in range(3):
+        opt.zero_grad()
+        for p in list(lay.parameters()) + list(unet.parameters()):
+            p.grad = torch.randn(p.shape, generator=g) * 0.01
+        opt.step()
+    merged = dict(lay.state_dict())
     merged["vqvae"] = _torch_vqvae().state_dict()
-    merged["df"] = _torch_unet().state_dict()
-    merged["opt"] = {}
+    merged["df"] = unet.state_dict()
+    merged["opt"] = opt.state_dict()
     merged["epoch"] = 7
     merged["counter"] = 4321
     pth = os.path.join(root, "model7.pth")
@@ -172,3 +185,98 @@ def test_imported_checkpoint_restores_and_samples(imported_exp):
                        jax.random.PRNGKey(2), gen_shape=True)
     assert np.isfinite(np.asarray(out["boxes"])).all()
     assert np.isfinite(np.asarray(out["sdf"])).all()
+
+
+def test_imported_adam_moments_land_in_optax_state(imported_exp):
+    """The torch exp_avg/exp_avg_sq land (converted) in the restored
+    ScaleByAdamState; count carries the torch step (VERDICT r2 #7)."""
+    import jax
+
+    from commonscenes_tpu.train.checkpoints import (
+        import_reference_adam_moments)
+
+    root, exp = imported_exp
+    merged = torch.load(os.path.join(root, "model7.pth"))
+    layout_sd = {k: v for k, v in merged.items()
+                 if isinstance(v, torch.Tensor)}
+    mu, nu, count = import_reference_adam_moments(
+        layout_sd, merged["df"], merged["opt"],
+        layout_kwargs=dict(num_gcn_layers=NL, pooling="avg", residual=False,
+                           use_angles=True, use_e2=True),
+        unet_kwargs=dict(model_channels=32, channel_mult=(1, 2),
+                         num_res_blocks=1, attention_resolutions=(2,),
+                         transformer_depth=1))
+    assert count == 3
+
+    # spot-check: the first optimizer param is obj_embeddings_ec.weight
+    ref_mu = merged["opt"]["state"][0]["exp_avg"].numpy()
+    np.testing.assert_allclose(mu["layout"]["obj_embed_ec"]["embedding"],
+                               ref_mu, rtol=1e-6)
+    # a Linear param converts with the same transpose as its weight
+    names = [k for k in layout_sd
+             if not k.endswith(("running_mean", "running_var",
+                                "num_batches_tracked"))]
+    i_d3 = names.index("d3_embeddings.weight")
+    np.testing.assert_allclose(
+        mu["layout"]["box_embed"]["kernel"],
+        merged["opt"]["state"][i_d3]["exp_avg"].numpy().T, rtol=1e-6)
+    # moments are non-trivial (the fixture really stepped the optimizer)
+    assert float(np.abs(ref_mu).max()) > 0
+    assert all(float(np.max(np.abs(x))) >= 0
+               for x in jax.tree.leaves(nu))
+
+
+def test_adamw_first_update_matches_torch_after_seating():
+    """Algebra alignment: seat torch AdamW moments into optax.adamw and the
+    next update matches torch's next step exactly (VERDICT r2 #7 'first
+    post-import update matches the reference's')."""
+    import jax.numpy as jnp
+    import optax
+
+    from commonscenes_tpu.train.checkpoints import seat_adam_moments
+
+    torch.manual_seed(0)
+    lin = torch.nn.Linear(6, 4)
+    opt = torch.optim.AdamW(lin.parameters(), lr=1e-4, weight_decay=0.01)
+    g = torch.Generator().manual_seed(1)
+    grads = [[torch.randn(p.shape, generator=g) for p in lin.parameters()]
+             for _ in range(4)]
+    for k in range(3):
+        opt.zero_grad()
+        for p, gr in zip(lin.parameters(), grads[k]):
+            p.grad = gr.clone()
+        opt.step()
+
+    w_before = lin.weight.detach().numpy().copy()
+    b_before = lin.bias.detach().numpy().copy()
+    st = opt.state_dict()["state"]
+
+    # params in torch order: weight (idx 0), bias (idx 1); our tree uses the
+    # flax convention {"kernel": W.T, "bias": b}
+    params = {"kernel": jnp.asarray(w_before.T), "bias": jnp.asarray(b_before)}
+    mu = {"kernel": jnp.asarray(st[0]["exp_avg"].numpy().T),
+          "bias": jnp.asarray(st[1]["exp_avg"].numpy())}
+    nu = {"kernel": jnp.asarray(st[0]["exp_avg_sq"].numpy().T),
+          "bias": jnp.asarray(st[1]["exp_avg_sq"].numpy())}
+
+    tx = optax.adamw(1e-4, weight_decay=0.01)
+    opt_state = seat_adam_moments(tx.init(params), mu, nu,
+                                  int(st[0]["step"]))
+
+    jgrads = {"kernel": jnp.asarray(grads[3][0].numpy().T),
+              "bias": jnp.asarray(grads[3][1].numpy())}
+    updates, _ = tx.update(jgrads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+
+    # torch takes the same 4th step
+    opt.zero_grad()
+    for p, gr in zip(lin.parameters(), grads[3]):
+        p.grad = gr.clone()
+    opt.step()
+
+    np.testing.assert_allclose(np.asarray(new_params["kernel"]).T,
+                               lin.weight.detach().numpy(),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(new_params["bias"]),
+                               lin.bias.detach().numpy(),
+                               rtol=1e-5, atol=1e-7)
