@@ -136,10 +136,15 @@ def _pad_view(objs, objs_grained, triples, boxes, angles, text_feats,
     if n > N:
         raise ValueError(f"scene has {n} objects > max_objs={N}")
     if m > T:
-        # keep scene-root edges + a random subset (rare; graphs are small)
-        triples = triples[:T]
+        # overflow (rare; graphs are small): keep every scene-root 'in'
+        # edge (predicate 0, appended last by the readers — they carry the
+        # scene conditioning) and the earliest inter-object edges
+        is_root = triples[:, 1] == 0
+        order = np.sort(np.concatenate(
+            [np.where(is_root)[0], np.where(~is_root)[0]])[:T])
+        triples = triples[order]
         if rel_feats is not None:
-            rel_feats = rel_feats[:T]
+            rel_feats = rel_feats[order]
         m = T
 
     def pad0(a, total, axis=0):

@@ -77,8 +77,11 @@ class Vocab:
         return self.class_to_idx["_scene_"]
 
     def inverse_pred_id(self, pred_id: int) -> int:
+        """Id of the inverse predicate; identity when the vocabulary does
+        not contain the inverse (non-inverse-closed relationship lists)."""
         name = self.predicates[pred_id]
-        return self.pred_to_idx[INVERSE_RELATIONSHIP.get(name, name)]
+        return self.pred_to_idx.get(
+            INVERSE_RELATIONSHIP.get(name, name), pred_id)
 
     @classmethod
     def synthetic(cls) -> "Vocab":
