@@ -71,8 +71,11 @@ def adversarial_root(tmp_path_factory):
         if i == n_obj:
             entry["model_path"] = None           # floor
         else:
+            # instance 5 reuses instance 1's model → a GT 'same as'
+            # consistency pair (collect_consistency.py:281-287)
+            mid = "model-01" if i == 5 else f"model-{i:02d}"
             entry["model_path"] = os.path.join(
-                root, "3D-FUTURE-model", f"model-{i:02d}", "raw_model.obj")
+                root, "3D-FUTURE-model", mid, "raw_model.obj")
         big_boxes[str(i)] = entry
     # SDF grids exist only for odd instances — even ones exercise the
     # missing-grid path (has_sdf False, zero grid)
@@ -196,3 +199,22 @@ def test_train_cli_on_adversarial_tree(adversarial_root, tmp_path):
           "--nepoch", "1", "--steps_per_epoch", "2", "--batchSize", "2",
           "--max_objs", "12", "--max_triples", "16", "--exp", exp])
     assert os.path.isdir(os.path.join(exp, "checkpoint", "model_0"))
+
+
+@pytest.mark.fast
+def test_collect_consistency_cli(adversarial_root, tmp_path):
+    """GT-side consistency collection (reference collect_consistency.py
+    live path): same-model instance pairs → consistencies json + DOT."""
+    from commonscenes_tpu.cli.collect_consistency import main
+    out = str(tmp_path / "consistencies_bedroom_test.json")
+    graphs = str(tmp_path / "graphs")
+    s = main(["--dataset", adversarial_root, "--room_type", "bedroom",
+              "--split", "test", "--out", out, "--graphs_dir", graphs])
+    assert s["scenes"] == 2 and s["pairs"] == 1
+    with open(out) as f:
+        d = json.load(f)
+    recs = {r["scan"]: r for r in d["scans"]}
+    assert recs[BIG]["consistency"] == [[1, 5, 16, "same as"]]
+    assert recs[EMPTY]["consistency"] == []
+    assert recs[BIG]["objects"]["1"] == "double_bed"
+    assert os.path.exists(os.path.join(graphs, f"{BIG}.dot"))
