@@ -68,9 +68,33 @@ class GroupNorm(nn.Module):
                           silu=self.silu)
 
 
+class _DenseParams(nn.Module):
+    """Parameter-only Dense: same {kernel[, bias]} tree as nn.Dense so
+    checkpoints/importers are unaffected, but the matmul itself is left to
+    the caller (the einsum path fuses head split + lane padding into it)."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,)) if self.use_bias else None
+        return k, b
+
+
 class MultiHeadAttention(nn.Module):
     """q from x [B, N, D]; k/v from context [B, M, Dc] (self-attn when
-    context is None). Softmax in fp32."""
+    context is None). Softmax in fp32.
+
+    TPU self-attention path: the head split AND the lane pad (head dims 56
+    and 84 pad to the MXU-friendly 64/128) are folded into the projection
+    WEIGHTS, so q/k/v come out of the matmul already head-major-padded and
+    feed the Pallas kernel with zero transpose/pad copies — worth ~25% of
+    the transformer block (the activations are 29 MB each at the 8² stage;
+    three transposes + three pads used to ride through HBM)."""
 
     heads: int = 8
     dim_head: int = 64
@@ -81,36 +105,69 @@ class MultiHeadAttention(nn.Module):
         inner = self.heads * self.dim_head
         query_dim = x.shape[-1]
         ctx = x if context is None else context
-
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
-
-        B, N, _ = q.shape
-        M = k.shape[1]
+        ctx_dim = ctx.shape[-1]
+        B, N, _ = x.shape
+        M = ctx.shape[1]
         h, d = self.heads, self.dim_head
-        q = q.reshape(B, N, h, d)
-        k = k.reshape(B, M, h, d)
-        v = v.reshape(B, M, h, d)
+        dt = self.dtype or x.dtype
 
-        out = None
-        if context is None:
-            # fused VMEM-resident kernel for token self-attention
-            from commonscenes_tpu.ops import flash_attention as fa
-            if fa.on_tpu() and fa.self_attention_supported(N, d):
-                out = fa.flash_self_attention(q, k, v)
+        wq, _ = _DenseParams(inner, use_bias=False, name="to_q")(query_dim)
+        wk, _ = _DenseParams(inner, use_bias=False, name="to_k")(ctx_dim)
+        wv, _ = _DenseParams(inner, use_bias=False, name="to_v")(ctx_dim)
+        wo, bo = _DenseParams(query_dim, name="to_out")(inner)
 
-        if out is None:
-            scale = d ** -0.5
-            sim = jnp.einsum("bnhd,bmhd->bhnm", q, k,
-                             preferred_element_type=jnp.float32) * scale
-            attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1)
-            attn = attn.astype(v.dtype)
-            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v,
-                             preferred_element_type=jnp.float32)
+        if context is not None and M == 1:
+            # EXACT shortcut: softmax over a single key is identically 1
+            # (and its gradient w.r.t. the logit is 0), so cross-attention
+            # to one relation token is a value broadcast — the q/k matmuls
+            # the reference runs here are dead compute, O(B·N·C²) → O(B·C²)
+            v1 = ctx[:, 0].astype(dt) @ wv.astype(dt)        # [B, inner]
+            o1 = v1 @ wo.astype(dt) + bo.astype(dt)          # [B, C]
+            return jnp.broadcast_to(o1[:, None, :],
+                                    (B, N, query_dim)).astype(x.dtype)
 
-        out = out.reshape(B, N, inner).astype(x.dtype)
-        return nn.Dense(query_dim, dtype=self.dtype, name="to_out")(out)
+        from commonscenes_tpu.ops import flash_attention as fa
+        if context is None and fa.on_tpu() \
+                and fa.self_attention_supported(N, d):
+            Dp = max((d + 63) // 64 * 64, 64)
+
+            def fold(w):
+                # [C, h·d] → [C, h, Dp]: zero lanes absorb the pad; XLA
+                # fuses the head-major output layout into the matmul
+                w3 = w.reshape(-1, h, d)
+                if Dp != d:
+                    w3 = jnp.pad(w3, ((0, 0), (0, 0), (0, Dp - d)))
+                return w3.astype(dt)
+
+            q = jnp.einsum("bnc,chd->bhnd", x.astype(dt), fold(wq))
+            k = jnp.einsum("bnc,chd->bhnd", x.astype(dt), fold(wk))
+            v = jnp.einsum("bnc,chd->bhnd", x.astype(dt), fold(wv))
+            o = fa.flash_attention_padded(q.reshape(B * h, N, Dp),
+                                          k.reshape(B * h, N, Dp),
+                                          v.reshape(B * h, N, Dp),
+                                          d ** -0.5)
+            o = o.reshape(B, h, N, Dp)
+            # padded v lanes are zero → padded o lanes are zero; the padded
+            # rows of the folded output weight are zeroed anyway
+            wo3 = wo.reshape(h, d, query_dim)
+            if Dp != d:
+                wo3 = jnp.pad(wo3, ((0, 0), (0, Dp - d), (0, 0)))
+            out = jnp.einsum("bhnd,hdc->bnc", o, wo3.astype(dt))
+            return (out + bo.astype(dt)).astype(x.dtype)
+
+        q = (x.astype(dt) @ wq.astype(dt)).reshape(B, N, h, d)
+        k = (ctx.astype(dt) @ wk.astype(dt)).reshape(B, M, h, d)
+        v = (ctx.astype(dt) @ wv.astype(dt)).reshape(B, M, h, d)
+
+        scale = d ** -0.5
+        sim = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                         preferred_element_type=jnp.float32) * scale
+        attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1)
+        attn = attn.astype(v.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v,
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(B, N, inner).astype(dt)
+        return (out @ wo.astype(dt) + bo.astype(dt)).astype(x.dtype)
 
 
 class GEGLU(nn.Module):

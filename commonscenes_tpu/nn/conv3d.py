@@ -12,6 +12,7 @@ are interchangeable.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -92,19 +93,35 @@ def conv3d(x: jax.Array, kernel: jax.Array,
            strides: Tuple[int, int, int] = (1, 1, 1),
            padding: Tuple[Tuple[int, int], ...] = ((1, 1), (1, 1), (1, 1))
            ) -> jax.Array:
-    """Shape-dispatched 3D conv.
+    """Shape-dispatched 3D conv. Default: XLA's native rank-3 conv.
 
-    Measured on v5e (chained-timing, 30 iters, bf16):
-      16³×224ch:  2dsum 78 TFLOP/s vs direct rank-3 74  → 2dsum
-      16×8²×448:  2dsum 70        vs direct        89  → direct
-      16×4²×672:  2dsum 55        vs direct        67  → direct
-    The 2D-sum lowering wins when the per-image spatial plane is large
-    enough to tile the MXU (H·W ≥ 256); below that the extra depth-tap
-    dispatches dominate and XLA's native rank-3 conv is faster.
+    Round-3 end-to-end A/B on the v5e (full v2_full sampling program,
+    honest host-fetch timing, BENCH protocol):
+      direct everywhere      0.1493 scenes/s   ← default
+      2dsum at 16³ stage     0.1442
+      2dsum at 8²/4² stages  0.1360
+      pallas at 8²/4² stages 0.1322
+    ISOLATED microbenches invert this ordering (2dsum measures 96-99
+    TFLOP/s vs direct's pathological isolated numbers) — but in-program,
+    XLA fuses the surrounding GroupNorm/SiLU/residual elementwise work
+    into the native conv, which the 2dsum slicing and the Pallas call
+    boundary both break. The alternatives stay selectable for A/B:
+    COMMONSCENES_CONV_LARGE=2dsum (H·W ≥ 256),
+    COMMONSCENES_CONV_SMALL=2dsum|pallas (H·W < 256;
+    ops/pallas_conv3d.py is the tap-accumulate kernel).
     """
     H, W = x.shape[2], x.shape[3]
     if H * W >= 256:
-        return conv3d_2dsum(x, kernel, strides, padding)
+        if os.environ.get("COMMONSCENES_CONV_LARGE", "direct") == "2dsum":
+            return conv3d_2dsum(x, kernel, strides, padding)
+    else:
+        small = os.environ.get("COMMONSCENES_CONV_SMALL", "direct")
+        if small == "pallas" and jax.default_backend() == "tpu":
+            from commonscenes_tpu.ops import pallas_conv3d as pc
+            if pc.supports(x.shape, kernel.shape, strides, padding):
+                return pc.conv3d_pallas(x, kernel)
+        if small == "2dsum":
+            return conv3d_2dsum(x, kernel, strides, padding)
     y = jax.lax.conv_general_dilated(
         x, kernel, strides, list(padding),
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))

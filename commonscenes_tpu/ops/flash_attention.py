@@ -25,15 +25,18 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    q = q_ref[0].astype(jnp.float32)          # [N, Dp]
-    k = k_ref[0].astype(jnp.float32)          # [N, Dp]
-    v = v_ref[0].astype(jnp.float32)
+    # matmul INPUTS stay bf16 (the v5e MXU runs bf16 at 4× its fp32 rate);
+    # accumulation and the softmax are fp32
+    q = q_ref[0]                              # [N, Dp]
+    k = k_ref[0]                              # [N, Dp]
+    v = v_ref[0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     m = jnp.max(s, axis=1, keepdims=True)
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=1, keepdims=True)
-    o = jnp.dot(p, v, preferred_element_type=jnp.float32) / denom
+    o = jnp.dot(p.astype(v.dtype), v,
+                preferred_element_type=jnp.float32) / denom
     o_ref[0] = o.astype(o_ref.dtype)
 
 
@@ -99,6 +102,83 @@ def _prep(x, Dp):
 
 def _unprep(x, B, H, N, D):
     return jnp.moveaxis(x[..., :D].reshape(B, H, N, D), 1, 2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention_padded(q: jax.Array, k: jax.Array, v: jax.Array,
+                           scale: float) -> jax.Array:
+    """Head-major pre-padded entry: q, k, v [BH, N, Dp] (Dp a 64-multiple)
+    → [BH, N, Dp]. No transposes or pad copies — callers that fold the head
+    split + lane padding into their projection weights (nn/attention.py
+    einsum path) hand buffers straight to the kernel."""
+    return _padded_call(q, k, v, scale)
+
+
+def _padded_call(q, k, v, scale):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    BH, N, Dp = q.shape
+    Tq = _pick_q_tile(N, Dp)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale),
+        grid=(BH, N // Tq),
+        in_specs=[
+            pl.BlockSpec((1, Tq, Dp), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, Dp), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, Dp), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Tq, Dp), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BH, N, Dp), q.dtype),
+    )(q, k, v)
+
+
+def _padded_fwd(q, k, v, scale):
+    return _padded_call(q, k, v, scale), (q, k, v)
+
+
+def _padded_bwd(scale, res, g):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    q, k, v = res
+    BH, N, Dp = q.shape
+    Tq = _pick_q_tile(N, Dp, extra_factor=3)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale),
+        grid=(BH, N // Tq),
+        in_specs=[
+            pl.BlockSpec((1, Tq, Dp), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, Dp), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, Dp), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tq, Dp), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Tq, Dp), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, Dp), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, Dp), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, N, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((BH, N, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((BH, N, Dp), jnp.float32),
+        ],
+    )(q, k, v, g)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype))
+
+
+flash_attention_padded.defvjp(_padded_fwd, _padded_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -202,6 +282,9 @@ def self_attention_supported(n_tokens: int, dim_head: int) -> bool:
 
 
 def on_tpu() -> bool:
+    import os
+    if os.environ.get("COMMONSCENES_FLASH", "1") == "0":
+        return False
     try:
         return jax.devices()[0].platform == "tpu"
     except Exception:

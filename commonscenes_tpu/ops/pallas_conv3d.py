@@ -1,0 +1,172 @@
+"""Pallas direct 3D convolution for small-spatial UNet stages.
+
+Workload: the reference UNet's inner res-block convs
+(openai_model_3d.py:202-315) at [B, 16, 8, 8, 448] and [B, 16, 4, 4, 672]
+— 3×3×3, stride 1, pad 1 — where XLA's lowerings leave MXU throughput on
+the table (measured on v5e, honest chained timing: 2dsum 94 / 76 TFLOP/s,
+direct rank-3 far lower at these operating points).
+
+Design: tap-accumulate matmuls out of VMEM. Each kernel tap is one
+[BB·D·H·W, Cin] × [Cin, Cout] MXU matmul accumulated into a fp32 VMEM
+scratch; the output is written once, in the compute dtype, on the last
+tap. TPU tiling constrains dynamic slices in the sublane dimension (W),
+so the three W-shifts are materialized host-side as a stacked input
+[3, B, D+2, H+2, W, Cin] (one cheap XLA pad+stack); the kernel then only
+dynamically slices the untiled D/H dimensions. Grid order
+(batch-block, dx, dz·dy) keeps each shifted input block resident in VMEM
+for 9 consecutive taps and the accumulator resident for all 27 — HBM
+traffic is 3× input + 1× weights + 1× output, with no im2col
+materialization.
+
+Backward uses the XLA 2D-sum formulation (gradients are off the sampling
+hot path); forward/VJP parity vs the XLA conv is asserted by
+tests/test_conv3d.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# VMEM is 16 MB/core and Mosaic stacks the slice + reshape temporaries on
+# top of the resident blocks — budget conservatively (measured: the 16³
+# stage at BB=1 wants 17.1 MB with a naive 11 MB estimate)
+_VMEM_BUDGET = 6 * 1024 * 1024
+
+
+def _round_lanes(c: int) -> int:
+    return ((c + 127) // 128) * 128
+
+
+def _pick_batch_block(B: int, D: int, H: int, W: int, C: int,
+                      Cout: int, in_bytes: int = 2):
+    """Largest divisor-of-B power of two whose shifted input block + fp32
+    accumulator + output block + weight tile fit the VMEM budget (lane
+    dims rounded to 128). None when not even BB=1 fits."""
+    Cr, Cor = _round_lanes(C), _round_lanes(Cout)
+    w_bytes = Cr * Cor * in_bytes * 2   # double-buffered weight tile
+    bb = 1
+    best = None
+    while bb <= B:
+        if B % bb == 0:
+            x_bytes = bb * (D + 2) * (H + 2) * W * Cr * in_bytes
+            acc_bytes = bb * D * H * W * Cor * 4
+            out_bytes = bb * D * H * W * Cor * in_bytes
+            if x_bytes + acc_bytes + out_bytes + w_bytes <= _VMEM_BUDGET:
+                best = bb
+        bb *= 2
+    return best
+
+
+def _conv_kernel(x_ref, w_ref, o_ref, acc_ref, *, BB, D, H, W, C, Cout):
+    i_dx = pl.program_id(1)
+    i_zy = pl.program_id(2)
+    dz = i_zy // 3
+    dy = i_zy % 3
+    # x_ref block: [1, BB, D+2, H+2, W, C], already shifted by dx host-side
+    xs = x_ref[0, :, pl.ds(dz, D), pl.ds(dy, H), :, :]
+    m = xs.reshape(BB * D * H * W, C)
+    acc = jnp.dot(m, w_ref[0], preferred_element_type=jnp.float32)
+
+    first = jnp.logical_and(i_dx == 0, i_zy == 0)
+
+    @pl.when(first)
+    def _():
+        acc_ref[:] = acc
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        acc_ref[:] = acc_ref[:] + acc
+
+    @pl.when(jnp.logical_and(i_dx == 2, i_zy == 8))
+    def _():
+        o_ref[:] = acc_ref[:].reshape(BB, D, H, W, Cout).astype(o_ref.dtype)
+
+
+def _conv3d_pallas_impl(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    B, D, H, W, C = x.shape
+    Cout = kernel.shape[-1]
+    BB = _pick_batch_block(B, D, H, W, C, Cout)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    # three W-shifted copies: dynamic sublane slices are not expressible
+    # in the kernel (tiling), so tap dx selects a copy via the index map
+    xs = jnp.stack([jax.lax.slice_in_dim(xp, dx, dx + W, axis=3)
+                    for dx in range(3)])            # [3, B, D+2, H+2, W, C]
+    # weights ordered [dx, dz, dy] to match the grid walk
+    w2 = kernel.transpose(2, 0, 1, 3, 4).reshape(27, C, Cout)
+
+    kern = functools.partial(_conv_kernel, BB=BB, D=D, H=H, W=W, C=C,
+                             Cout=Cout)
+    out = pl.pallas_call(
+        kern,
+        grid=(B // BB, 3, 9),
+        # off-TPU (the CPU test mesh) the kernel runs in the interpreter,
+        # keeping the numerics testable everywhere
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[
+            pl.BlockSpec((1, BB, D + 2, H + 2, W, C),
+                         lambda b, dx, zy: (dx, b, 0, 0, 0, 0)),
+            pl.BlockSpec((1, C, Cout),
+                         lambda b, dx, zy: (dx * 9 + zy, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((BB, D, H, W, Cout),
+                               lambda b, dx, zy: (b, 0, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, D, H, W, Cout), x.dtype),
+        scratch_shapes=[pltpu.VMEM((BB * D * H * W, Cout), jnp.float32)],
+    )(xs, w2)
+    return out
+
+
+def _reference_conv(x, kernel):
+    """XLA formulation used for the VJP (and as the numeric oracle)."""
+    from commonscenes_tpu.nn.conv3d import conv3d_2dsum
+    return conv3d_2dsum(x, kernel)
+
+
+@jax.custom_vjp
+def conv3d_pallas(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """3×3×3 / stride 1 / pad 1 conv, NDHWC × [3,3,3,Cin,Cout]."""
+    return _conv3d_pallas_impl(x, kernel)
+
+
+def _fwd(x, kernel):
+    return _conv3d_pallas_impl(x, kernel), (x, kernel)
+
+
+def _bwd(res, g):
+    x, kernel = res
+    _, vjp = jax.vjp(_reference_conv, x, kernel)
+    return vjp(g.astype(x.dtype))
+
+
+conv3d_pallas.defvjp(_fwd, _bwd)
+
+
+def supports(shape: Tuple[int, ...], kernel_shape: Tuple[int, ...],
+             strides, padding) -> bool:
+    """True for the stride-1 pad-1 3³ convs this kernel covers. Shapes are
+    static under jit, so this runs at trace time."""
+    if tuple(kernel_shape[:3]) != (3, 3, 3):
+        return False
+    if tuple(strides) != (1, 1, 1):
+        return False
+    if tuple(tuple(p) for p in padding) != ((1, 1), (1, 1), (1, 1)):
+        return False
+    B, D, H, W, C = shape
+    return _pick_batch_block(B, D, H, W, C, kernel_shape[-1]) is not None
+
+
+def _conv_kernel_block_shapes(x_shape, kernel_shape):
+    """Introspection helper for tests: (batch block, VMEM bytes used)."""
+    B, D, H, W, C = x_shape
+    Cout = kernel_shape[-1]
+    BB = _pick_batch_block(B, D, H, W, C, Cout)
+    x_bytes = BB * (D + 2) * (H + 2) * W * C * 2
+    acc_bytes = BB * D * H * W * Cout * 4
+    out_bytes = BB * D * H * W * Cout * 2
+    return BB, x_bytes + acc_bytes + out_bytes + C * Cout * 4

@@ -51,3 +51,40 @@ def test_kernel_matches_xla_on_tpu():
     ref = jnp.einsum("bhnm,bmhd->bnhd", jax.nn.softmax(sim, -1), v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.fast
+def test_single_token_cross_attention_shortcut_exact():
+    """Cross-attention to M=1 context: the broadcast shortcut must equal
+    the full softmax path bit-for-bit in math (softmax over one key ≡ 1),
+    including zero gradients for to_q/to_k."""
+    import jax
+    import jax.numpy as jnp
+    from commonscenes_tpu.nn.attention import MultiHeadAttention
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 16, 32).astype(np.float32))
+    ctx1 = jnp.asarray(rng.randn(2, 1, 24).astype(np.float32))
+    mha = MultiHeadAttention(heads=4, dim_head=8)
+    p = mha.init(jax.random.PRNGKey(0), x, ctx1)
+
+    out = mha.apply(p, x, ctx1)
+
+    # reference: the generic formula evaluated manually
+    wq = p["params"]["to_q"]["kernel"]
+    wv = p["params"]["to_v"]["kernel"]
+    wo = p["params"]["to_out"]["kernel"]
+    bo = p["params"]["to_out"]["bias"]
+    v = ctx1[:, 0] @ wv
+    ref = (v @ wo + bo)[:, None, :] * jnp.ones((1, 16, 1))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+    # gradients: d out / d wq must be exactly zero (softmax' of a single
+    # logit is 0); d/d wv nonzero
+    def loss(params):
+        return jnp.sum(mha.apply(params, x, ctx1) ** 2)
+
+    g = jax.grad(loss)(p)
+    assert float(jnp.max(jnp.abs(g["params"]["to_q"]["kernel"]))) == 0.0
+    assert float(jnp.max(jnp.abs(g["params"]["to_v"]["kernel"]))) > 0.0
