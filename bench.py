@@ -55,6 +55,9 @@ def main():
 
     vocab = Vocab.synthetic()
     cfg = FullConfig()  # full reference operating point (224ch UNet, 64^3 VQVAE)
+    if os.environ.get("BENCH_UNET_REMAT", "1") == "0":
+        cfg = cfg.replace(unet=cfg.unet.__class__(
+            **{**cfg.unet.__dict__, "use_checkpoint": False}))
     objs_per_scene = 8
     scenes_per_batch = int(os.environ.get("BENCH_SCENES", "1"))
     cfg = cfg.replace(batch=cfg.batch.__class__(

@@ -270,12 +270,16 @@ class CommonScenesV2Full:
         return gen_sdf
 
     def _decode_latents(self, variables, samples: jax.Array,
-                        max_chunk: int = 16) -> jax.Array:
+                        max_chunk: Optional[int] = None) -> jax.Array:
         """First-stage decode [K, 16³, zc] → [K, 64³, 1], chunked when K is
         large: decoding K×64³ grids at once holds multi-GB activation
         buffers in HBM (the reference minibatches its DDIM+decode at 7 for
         the same reason, sdfusion_txt2shape_model.py:493-511). The chunk
         body compiles once via ``lax.map``."""
+        if max_chunk is None:
+            import os
+            max_chunk = int(os.environ.get("COMMONSCENES_DECODE_CHUNK",
+                                           "16"))
         K = samples.shape[0]
         if K <= max_chunk:
             return self.vqvae.apply(variables["vqvae"], samples,

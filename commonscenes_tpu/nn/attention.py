@@ -101,7 +101,10 @@ class MultiHeadAttention(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, context: Optional[jax.Array] = None) -> jax.Array:
+    def __call__(self, x: jax.Array, context: Optional[jax.Array] = None,
+                 residual: Optional[jax.Array] = None) -> jax.Array:
+        """``residual`` (the pre-LayerNorm block input) folds the residual
+        add into the fused attention kernel's single output write."""
         inner = self.heads * self.dim_head
         query_dim = x.shape[-1]
         ctx = x if context is None else context
@@ -123,8 +126,9 @@ class MultiHeadAttention(nn.Module):
             # the reference runs here are dead compute, O(B·N·C²) → O(B·C²)
             v1 = ctx[:, 0].astype(dt) @ wv.astype(dt)        # [B, inner]
             o1 = v1 @ wo.astype(dt) + bo.astype(dt)          # [B, C]
-            return jnp.broadcast_to(o1[:, None, :],
-                                    (B, N, query_dim)).astype(x.dtype)
+            out = jnp.broadcast_to(o1[:, None, :],
+                                   (B, N, query_dim)).astype(x.dtype)
+            return out if residual is None else residual + out
 
         from commonscenes_tpu.ops import flash_attention as fa
         if context is None and fa.on_tpu() \
@@ -142,18 +146,29 @@ class MultiHeadAttention(nn.Module):
             q = jnp.einsum("bnc,chd->bhnd", x.astype(dt), fold(wq))
             k = jnp.einsum("bnc,chd->bhnd", x.astype(dt), fold(wk))
             v = jnp.einsum("bnc,chd->bhnd", x.astype(dt), fold(wv))
-            o = fa.flash_attention_padded(q.reshape(B * h, N, Dp),
-                                          k.reshape(B * h, N, Dp),
-                                          v.reshape(B * h, N, Dp),
-                                          d ** -0.5)
-            o = o.reshape(B, h, N, Dp)
             # padded v lanes are zero → padded o lanes are zero; the padded
             # rows of the folded output weight are zeroed anyway
             wo3 = wo.reshape(h, d, query_dim)
             if Dp != d:
                 wo3 = jnp.pad(wo3, ((0, 0), (0, Dp - d), (0, 0)))
+
+            import os
+            from commonscenes_tpu.ops import fused_transformer as ft
+            if residual is not None \
+                    and os.environ.get("COMMONSCENES_FUSED_ATTN", "1") != "0" \
+                    and ft.attn_out_supported(B, h, N, Dp, query_dim):
+                # softmax core + out projection + residual: one HBM write
+                return ft.attn_out_fused(q, k, v, residual.astype(dt),
+                                         wo3.astype(dt), bo, d ** -0.5)
+
+            o = fa.flash_attention_padded(q.reshape(B * h, N, Dp),
+                                          k.reshape(B * h, N, Dp),
+                                          v.reshape(B * h, N, Dp),
+                                          d ** -0.5)
+            o = o.reshape(B, h, N, Dp)
             out = jnp.einsum("bhnd,hdc->bnc", o, wo3.astype(dt))
-            return (out + bo.astype(dt)).astype(x.dtype)
+            out = (out + bo.astype(dt)).astype(x.dtype)
+            return out if residual is None else residual + out
 
         q = (x.astype(dt) @ wq.astype(dt)).reshape(B, N, h, d)
         k = (ctx.astype(dt) @ wk.astype(dt)).reshape(B, M, h, d)
@@ -167,7 +182,8 @@ class MultiHeadAttention(nn.Module):
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v,
                          preferred_element_type=jnp.float32)
         out = out.reshape(B, N, inner).astype(dt)
-        return (out @ wo.astype(dt) + bo.astype(dt)).astype(x.dtype)
+        out = (out @ wo.astype(dt) + bo.astype(dt)).astype(x.dtype)
+        return out if residual is None else residual + out
 
 
 class GEGLU(nn.Module):
@@ -183,15 +199,60 @@ class GEGLU(nn.Module):
         return a * jax.nn.gelu(gate, approximate=False)
 
 
+class _GegluParams(nn.Module):
+    """Parameter twin of GEGLU (child Dense 'proj') for the fused path."""
+
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return _DenseParams(self.dim_out * 2, name="proj")(in_features)
+
+
 class FeedForward(nn.Module):
+    """GEGLU feed-forward. When ``ln_scale``/``ln_bias`` are given, the
+    whole LayerNorm → GEGLU → out-proj → +residual chain runs as ONE
+    Pallas kernel on TPU (ops/fused_transformer.ffn_fused) — the
+    [tokens, 8·C] GEGLU intermediate never touches HBM. Param tree is
+    identical to the unfused module (geglu/proj + out)."""
+
     mult: int = 4
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array,
+                 ln_scale: Optional[jax.Array] = None,
+                 ln_bias: Optional[jax.Array] = None) -> jax.Array:
         dim = x.shape[-1]
-        h = GEGLU(dim * self.mult, dtype=self.dtype, name="geglu")(x)
-        return nn.Dense(dim, dtype=self.dtype, name="out")(h)
+        if ln_scale is None:
+            h = GEGLU(dim * self.mult, dtype=self.dtype, name="geglu")(x)
+            return nn.Dense(dim, dtype=self.dtype, name="out")(h)
+
+        F = dim * self.mult
+        dt = self.dtype or x.dtype
+        w1, b1 = _GegluParams(F, name="geglu")(dim)
+        w2, b2 = _DenseParams(dim, name="out")(F)
+        import os
+        from commonscenes_tpu.ops import fused_transformer as ft
+        x2 = x.reshape(-1, dim)
+        if jax.default_backend() == "tpu" \
+                and os.environ.get("COMMONSCENES_FUSED_FFN", "1") != "0":
+            out = ft.ffn_fused(x2.astype(dt), ln_scale, ln_bias,
+                               w1.astype(dt), b1, w2.astype(dt), b2)
+        else:
+            out = ft.ffn_reference(x2.astype(dt), ln_scale, ln_bias,
+                                   w1.astype(dt), b1, w2.astype(dt), b2)
+        return out.reshape(x.shape).astype(x.dtype)
+
+
+class _LNParams(nn.Module):
+    """Parameter twin of nn.LayerNorm ({scale, bias})."""
+
+    @nn.compact
+    def __call__(self, dim: int):
+        s = self.param("scale", nn.initializers.ones, (dim,))
+        b = self.param("bias", nn.initializers.zeros, (dim,))
+        return s, b
 
 
 class BasicTransformerBlock(nn.Module):
@@ -205,14 +266,18 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, context: Optional[jax.Array] = None) -> jax.Array:
-        x = x + MultiHeadAttention(self.heads, self.dim_head, dtype=self.dtype,
-                                   name="attn1")(nn.LayerNorm(dtype=self.dtype,
-                                                              epsilon=1e-5, name="norm1")(x))
+        # residual folded into the fused attention kernel's output write
+        x = MultiHeadAttention(self.heads, self.dim_head, dtype=self.dtype,
+                               name="attn1")(
+            nn.LayerNorm(dtype=self.dtype, epsilon=1e-5, name="norm1")(x),
+            residual=x)
         x = x + MultiHeadAttention(self.heads, self.dim_head, dtype=self.dtype,
                                    name="attn2")(
             nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x), context=context)
-        x = x + FeedForward(dtype=self.dtype, name="ff")(
-            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x))
+        # LayerNorm + GEGLU + out-proj + residual as one fused kernel
+        ln_s, ln_b = _LNParams(name="norm3")(x.shape[-1])
+        x = FeedForward(dtype=self.dtype, name="ff")(x, ln_scale=ln_s,
+                                                     ln_bias=ln_b)
         return x
 
 

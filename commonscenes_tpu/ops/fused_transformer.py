@@ -1,0 +1,235 @@
+"""Fused transformer sub-blocks (Pallas, TPU).
+
+The UNet's spatial-transformer blocks (nn/attention.py, reference
+attention.py:222-245) spend a large share of their time in HBM round
+trips between small ops: LayerNorm → GEGLU proj → split/gelu/mul →
+out proj → residual leaves five full activation passes in XLA, and the
+per-head attention core + output projection + residual add another four.
+These kernels keep the whole chain VMEM-resident:
+
+* ``ffn_fused``: LN → x@W1+b1 → GEGLU → @W2+b2 → +residual for a row
+  block of tokens. The [rows, 3584] GEGLU intermediate never exists in
+  HBM (235 MB of traffic per 8²-stage block in the XLA lowering).
+* ``attn_out_fused``: per batch sample, loops heads over the softmax
+  core and accumulates the output PROJECTION in VMEM fp32, adding the
+  residual before the single output write.
+
+Both are exact (fp32 statistics/softmax, erf GELU) and differentiable —
+backward runs the XLA reference composition via jax.vjp, keeping
+training semantics identical while the forward rides the fused path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# LN + GEGLU feed-forward + residual
+# ---------------------------------------------------------------------------
+
+
+def _erf(x):
+    """erf for Mosaic (no native lowering): Abramowitz & Stegun 7.1.26,
+    |err| < 1.5e-7 in fp32 — far below the bf16 output resolution."""
+    p = 0.3275911
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
+def _ffn_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                o_ref, *, eps: float):
+    x = x_ref[:]                                   # [T, C] bf16
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=1, keepdims=True)
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+    xn = (xn * lns_ref[:] + lnb_ref[:]).astype(x.dtype)
+
+    h = jnp.dot(xn, w1_ref[:],
+                preferred_element_type=jnp.float32) + b1_ref[:]
+    F = w2_ref.shape[0]
+    a, g = h[:, :F], h[:, F:]
+    # erf GELU (torch F.gelu; reference GEGLU attention.py:39-46)
+    y = (a * 0.5 * g * (1.0 + _erf(g / jnp.sqrt(2.0)))).astype(x.dtype)
+    out = jnp.dot(y, w2_ref[:],
+                  preferred_element_type=jnp.float32) + b2_ref[:]
+    o_ref[:] = (out + xf).astype(o_ref.dtype)
+
+
+def _ffn_rows_block(C: int, F: int, dtype_bytes: int = 2) -> int:
+    """Row block so x + h + y + out (+ weights) fit ~11 MB of VMEM."""
+    budget = 11 * 1024 * 1024
+    w_bytes = (C * 2 * F + F * C) * dtype_bytes
+    t = 1024
+    while t > 8:
+        act = t * C * dtype_bytes * 2 + t * 2 * F * 4 + t * F * dtype_bytes \
+            + t * C * 4
+        if act + w_bytes <= budget:
+            break
+        t //= 2
+    return t
+
+
+def _ffn_impl(x2, ln_s, ln_b, w1, b1, w2, b2, eps):
+    M, C = x2.shape
+    F = w2.shape[0]
+    T = _ffn_rows_block(C, F)
+    pad = (-M) % T
+    if pad:
+        x2 = jnp.concatenate(
+            [x2, jnp.zeros((pad, C), x2.dtype)], axis=0)
+    out = pl.pallas_call(
+        functools.partial(_ffn_kernel, eps=eps),
+        grid=((M + pad) // T,),
+        in_specs=[
+            pl.BlockSpec((T, C), lambda i: (i, 0)),
+            pl.BlockSpec((C,), lambda i: (0,)),
+            pl.BlockSpec((C,), lambda i: (0,)),
+            pl.BlockSpec((C, 2 * F), lambda i: (0, 0)),
+            pl.BlockSpec((2 * F,), lambda i: (0,)),
+            pl.BlockSpec((F, C), lambda i: (0, 0)),
+            pl.BlockSpec((C,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((T, C), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((M + pad, C), x2.dtype),
+        interpret=_interpret(),
+    )(x2, ln_s.astype(jnp.float32), ln_b.astype(jnp.float32),
+      w1, b1.astype(jnp.float32), w2, b2.astype(jnp.float32))
+    return out[:M]
+
+
+def ffn_reference(x2, ln_s, ln_b, w1, b1, w2, b2, eps=1e-5):
+    """XLA composition used for the VJP and as the numeric oracle."""
+    xf = x2.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=1, keepdims=True)
+    xn = ((xf - mu) * jax.lax.rsqrt(var + eps) * ln_s + ln_b).astype(x2.dtype)
+    h = (xn @ w1).astype(jnp.float32) + b1
+    F = w2.shape[0]
+    a, g = h[:, :F], h[:, F:]
+    y = (a * jax.nn.gelu(g, approximate=False)).astype(x2.dtype)
+    out = (y @ w2).astype(jnp.float32) + b2
+    return (out + xf).astype(x2.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def ffn_fused(x2, ln_s, ln_b, w1, b1, w2, b2, eps=1e-5):
+    """x2 [M, C] tokens → LN → GEGLU FF → +residual, one HBM round trip."""
+    return _ffn_impl(x2, ln_s, ln_b, w1, b1, w2, b2, eps)
+
+
+def _ffn_fwd(x2, ln_s, ln_b, w1, b1, w2, b2, eps):
+    return _ffn_impl(x2, ln_s, ln_b, w1, b1, w2, b2, eps), \
+        (x2, ln_s, ln_b, w1, b1, w2, b2)
+
+
+def _ffn_bwd(eps, res, g):
+    _, vjp = jax.vjp(lambda *a: ffn_reference(*a, eps=eps), *res)
+    return vjp(g)
+
+
+ffn_fused.defvjp(_ffn_fwd, _ffn_bwd)
+
+
+# ---------------------------------------------------------------------------
+# attention core + output projection + residual
+# ---------------------------------------------------------------------------
+
+
+def _attn_out_kernel(q_ref, k_ref, v_ref, x_ref, wo_ref, bo_ref, o_ref,
+                     *, scale: float, heads: int):
+    x = x_ref[0].astype(jnp.float32)               # [N, C]
+    acc = x + bo_ref[:]
+    for h in range(heads):
+        qh = q_ref[0, h]                            # [N, Dp] bf16
+        kh = k_ref[0, h]
+        vh = v_ref[0, h]
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = (p / jnp.sum(p, axis=1, keepdims=True)).astype(vh.dtype)
+        o = jnp.dot(p, vh, preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(o.astype(vh.dtype), wo_ref[h],
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def _attn_out_impl(q, k, v, x, wo, bo, scale):
+    B, H, N, Dp = q.shape
+    C = x.shape[-1]
+    out = pl.pallas_call(
+        functools.partial(_attn_out_kernel, scale=scale, heads=H),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, N, Dp), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, N, Dp), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, N, Dp), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, N, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((H, Dp, C), lambda b: (0, 0, 0)),
+            pl.BlockSpec((C,), lambda b: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, N, C), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
+        interpret=_interpret(),
+    )(q, k, v, x, wo, bo.astype(jnp.float32))
+    return out
+
+
+def attn_out_reference(q, k, v, x, wo, bo, scale):
+    """XLA composition for the VJP / numeric oracle."""
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    o = jnp.einsum("bhnm,bhmd->bhnd", p, v,
+                   preferred_element_type=jnp.float32)
+    out = jnp.einsum("bhnd,hdc->bnc", o.astype(v.dtype), wo,
+                     preferred_element_type=jnp.float32)
+    return (out + bo + x.astype(jnp.float32)).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def attn_out_fused(q, k, v, x, wo, bo, scale):
+    """q/k/v [B, H, N, Dp] (head-major, pre-padded), x [B, N, C] residual,
+    wo [H, Dp, C]: softmax core + out projection + residual, one write."""
+    return _attn_out_impl(q, k, v, x, wo, bo, scale)
+
+
+def _ao_fwd(q, k, v, x, wo, bo, scale):
+    return _attn_out_impl(q, k, v, x, wo, bo, scale), (q, k, v, x, wo, bo)
+
+
+def _ao_bwd(scale, res, g):
+    _, vjp = jax.vjp(lambda *a: attn_out_reference(*a, scale), *res)
+    return vjp(g)
+
+
+attn_out_fused.defvjp(_ao_fwd, _ao_bwd)
+
+
+def attn_out_supported(B: int, H: int, N: int, Dp: int, C: int) -> bool:
+    """Whole-sample residency: q/k/v + score block + accumulators."""
+    qkv = 3 * H * N * Dp * 2
+    score = N * N * 4
+    accs = 2 * N * C * 4 + N * C * 2
+    w = H * Dp * C * 2
+    return N % 8 == 0 and qkv + score + accs + w < 13 * 1024 * 1024
+
+
+def ffn_supported(C: int, F: int) -> bool:
+    return C % 128 == 0 or True  # row block shrinks to fit; C is lane dim

@@ -195,6 +195,9 @@ def fused_supported(x_shape, groups: int) -> bool:
 
 
 def on_tpu() -> bool:
+    import os
+    if os.environ.get("COMMONSCENES_FUSED_GN", "1") == "0":
+        return False
     try:
         return jax.devices()[0].platform == "tpu"
     except Exception:
