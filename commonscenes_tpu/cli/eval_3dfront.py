@@ -55,8 +55,11 @@ def build_parser():
     p.add_argument("--sampler", default="ddim", choices=["ddim", "plms"],
                    help="shape sampler (the reference ships PLMS unwired)")
     # TPU-native batching knobs
-    p.add_argument("--eval_batch", type=int, default=4,
-                   help="scenes per jitted sampling call")
+    p.add_argument("--eval_batch", type=int, default=0,
+                   help="scenes per jitted sampling call; 0 = auto "
+                        "(one scene per device: B=1 on a single chip — "
+                        "measured fastest per-chip — with the batch "
+                        "dimension reserved for the device mesh)")
     p.add_argument("--pack_bucket", type=int, default=16,
                    help="shape-slot packing bucket (static DDIM batch)")
     p.add_argument("--stats_batch", type=int, default=16,
@@ -224,7 +227,15 @@ def main(argv=None):
     dtype = jnp.bfloat16 if getattr(train_args, "bf16", True) else None
     rng = np.random.RandomState(args.seed)
     key = jax.random.PRNGKey(args.seed)
-    B = max(1, args.eval_batch)
+    if args.eval_batch > 0:
+        B = args.eval_batch
+    else:
+        # auto: one scene per device. Per-chip, B=1 sampling measures
+        # fastest (BENCH r3: 0.1500 single vs 0.1471/scene at B=2 on one
+        # chip); the batch dimension exists to shard scenes over a mesh.
+        B = max(1, jax.device_count())
+        print(f"[*] eval_batch auto-selected: {B} "
+              f"({jax.device_count()} device(s))")
     mesh = make_eval_mesh(B)
     if mesh is not None:
         print(f"[*] eval sharded over {mesh.devices.size} devices")

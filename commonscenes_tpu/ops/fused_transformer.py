@@ -152,29 +152,47 @@ ffn_fused.defvjp(_ffn_fwd, _ffn_bwd)
 
 
 def _attn_out_kernel(q_ref, k_ref, v_ref, x_ref, wo_ref, bo_ref, o_ref,
-                     *, scale: float, heads: int):
+                     *, scale: float, heads: int, tq: int):
     x = x_ref[0].astype(jnp.float32)               # [N, C]
     acc = x + bo_ref[:]
+    N = q_ref.shape[2]
     for h in range(heads):
-        qh = q_ref[0, h]                            # [N, Dp] bf16
         kh = k_ref[0, h]
         vh = v_ref[0, h]
-        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = (p / jnp.sum(p, axis=1, keepdims=True)).astype(vh.dtype)
-        o = jnp.dot(p, vh, preferred_element_type=jnp.float32)
+        outs = []
+        # q tiled so the fp32 score + prob buffers stay within scoped VMEM
+        # (s and p coexist in the stack allocator: 2·N·Tq·4 bytes)
+        for j in range(N // tq):
+            qh = q_ref[0, h, j * tq:(j + 1) * tq]   # [Tq, Dp] bf16
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = (p / jnp.sum(p, axis=1, keepdims=True)).astype(vh.dtype)
+            outs.append(jnp.dot(p, vh,
+                                preferred_element_type=jnp.float32))
+        o = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
         acc = acc + jnp.dot(o.astype(vh.dtype), wo_ref[h],
                             preferred_element_type=jnp.float32)
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
+def _q_tile(N: int) -> int:
+    """Largest q tile whose fp32 score + prob buffers (which coexist in
+    the kernel's stack allocator) stay within a 2 MB scoped-VMEM budget."""
+    tq = N
+    while tq > 128 and 2 * tq * N * 4 > 2 * 1024 * 1024:
+        tq //= 2
+    return tq
+
+
 def _attn_out_impl(q, k, v, x, wo, bo, scale):
     B, H, N, Dp = q.shape
     C = x.shape[-1]
+    tq = _q_tile(N)
     out = pl.pallas_call(
-        functools.partial(_attn_out_kernel, scale=scale, heads=H),
+        functools.partial(_attn_out_kernel, scale=scale, heads=H, tq=tq),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, H, N, Dp), lambda b: (b, 0, 0, 0)),
@@ -223,12 +241,15 @@ attn_out_fused.defvjp(_ao_fwd, _ao_bwd)
 
 
 def attn_out_supported(B: int, H: int, N: int, Dp: int, C: int) -> bool:
-    """Whole-sample residency: q/k/v + score block + accumulators."""
+    """Whole-sample residency: q/k/v + the q-tiled score/prob block +
+    accumulators (the kernel tiles q so score+prob ≤ 2 MB, _q_tile)."""
+    tq = _q_tile(N)
     qkv = 3 * H * N * Dp * 2
-    score = N * N * 4
+    score = 2 * tq * N * 4
     accs = 2 * N * C * 4 + N * C * 2
     w = H * Dp * C * 2
-    return N % 8 == 0 and qkv + score + accs + w < 13 * 1024 * 1024
+    return (N % 8 == 0 and N % tq == 0
+            and qkv + score + accs + w < 13 * 1024 * 1024)
 
 
 def ffn_supported(C: int, F: int) -> bool:
