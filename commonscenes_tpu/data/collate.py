@@ -39,6 +39,10 @@ class RawScene:
     scan_id: str = ""
     instance_ids: Optional[np.ndarray] = None  # i32 [n] dataset instance ids
                                                # (root/synthetic slots: -1)
+    points: Optional[np.ndarray] = None        # f32 [n, P, 3] per-object
+                                               # point sets (legacy 3RScan
+                                               # use_points path; scene root
+                                               # slot is zeros)
 
     @property
     def num_objs(self) -> int:

@@ -6,9 +6,14 @@ with 3DSSG semantics, an ``objects.json`` instance→label map, a class list
 txt, and per-scan oriented bounding boxes — normalized into the framework's
 RawScene layout so the same collate/train stack runs on 3RScan graphs.
 
-(The reference's point-cloud/DeepSDF loading sides of this dataset are
-superseded by the SDF path in sgfront.py; only the graph surface is kept,
-matching how the 3D-FRONT entry points never touch this reader.)
+Beyond the graph surface, this reader now also covers the reference's
+per-instance point-cloud side (dataset/dataset.py:330-700): annotated-PLY
+scene loading with per-vertex ``objectId`` labels, per-instance sampling
+to a static ``npoints`` budget, the ``norm_tensor`` center/rotate/scale
+normalization family (diag / whl / whl_after), semseg.v2.json
+instance→label maps, canonical-direction box correction, and the legacy
+accumulated box statistics (helpers/util.py:519-560). The DeepSDF/AtlasNet
+feature caches remain superseded by the SDF path in sgfront.py.
 """
 
 from __future__ import annotations
@@ -20,18 +25,137 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from commonscenes_tpu.data.collate import RawScene
+from commonscenes_tpu.data.ply import read_ply_labeled
 from commonscenes_tpu.data.vocab import Vocab
+
+# accumulated 3RScan box statistics (reference helpers/util.py:527-528);
+# row 0 = mean, row 1 = std over [W, L, H, Cx, Cy, Cz, angle]
+RSCAN_BOX_STATS = np.array(
+    [[1.3827214, 1.309359, 0.9488993, -0.12464812, 0.6188591, -0.54847,
+      0.73127955],
+     [1.7797655, 1.657638, 0.8501885, 1.9160025, 2.0038228, 0.70099753,
+      0.50347435]], dtype=np.float64)
+
+
+def normalize_box_params_legacy(p7: np.ndarray, stats: Optional[np.ndarray]
+                                = None, scale: float = 3.0) -> np.ndarray:
+    """Reference normalize_box_params (helpers/util.py:519-534)."""
+    s = RSCAN_BOX_STATS if stats is None else stats
+    p7 = np.asarray(p7, np.float64)
+    return (scale * (p7 - s[0][: len(p7)]) / s[1][: len(p7)]).astype(
+        np.float32)
+
+
+def denormalize_box_params_legacy(p7: np.ndarray,
+                                  stats: Optional[np.ndarray] = None,
+                                  scale: float = 3.0) -> np.ndarray:
+    """Reference denormalize_box_params (helpers/util.py:536-560)."""
+    s = RSCAN_BOX_STATS if stats is None else stats
+    p7 = np.asarray(p7, np.float64)
+    return (p7 * s[1][: len(p7)] / scale + s[0][: len(p7)]).astype(
+        np.float32)
+
+
+def get_rotation_z(angle_rad: float) -> np.ndarray:
+    """Z-axis rotation matrix (reference helpers/util.py:497-508)."""
+    c, s = np.cos(angle_rad), np.sin(angle_rad)
+    return np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]],
+                    dtype=np.float32)
+
+
+def norm_points(p: np.ndarray, params7: Optional[np.ndarray] = None,
+                scale: bool = False, center: bool = True,
+                rotation: bool = False, scale_func: str = "diag"
+                ) -> np.ndarray:
+    """Normalize an object point set against its oriented box.
+
+    Numpy port of the reference ``norm_tensor``
+    (dataset/dataset.py:316-362): optional centering on the box center
+    (or centroid), rotation into the box's canonical frame by
+    ``-params7[6]``, and scaling by ``diag`` (unit box diagonal),
+    ``whl`` (each axis to [-1, 1] by box extents) or ``whl_after``
+    (each axis to [-1, 1] by observed extents).
+    """
+    p = np.asarray(p, np.float32).copy()
+    if center:
+        mean = (np.mean(p, 0) if params7 is None
+                else np.asarray(params7[3:6], np.float32))
+        p -= mean[None, :]
+    if rotation and params7 is not None:
+        p = (get_rotation_z(-float(params7[6])) @ p.T).T
+    if scale and params7 is not None:
+        if not rotation:
+            p = (get_rotation_z(-float(params7[6])) @ p.T).T
+        if scale_func == "diag":
+            p /= np.linalg.norm(np.asarray(params7[:3], np.float32))
+        elif scale_func == "whl":
+            ext = np.asarray(params7[:3], np.float32).reshape(1, 3)
+            p = (p - p.min(0, keepdims=True)) / ext * 2.0 - 1.0
+        elif scale_func == "whl_after":
+            lo = p.min(0, keepdims=True)
+            ext = p.max(0, keepdims=True) - lo
+            p = (p - lo) / np.maximum(ext, 1e-8) * 2.0 - 1.0
+        else:
+            raise ValueError(f"unknown scale_func {scale_func!r}")
+        if not rotation:
+            p = (get_rotation_z(float(params7[6])) @ p.T).T
+    return p
+
+
+def load_semseg(json_file: str) -> Dict[int, str]:
+    """segGroups instance-id → lowercase label
+    (reference dataset/dataset.py:364-375)."""
+    with open(json_file) as f:
+        data = json.load(f)
+    return {int(g["id"]): g["label"].lower() for g in data["segGroups"]}
+
+
+def apply_canonical_direction(p7: np.ndarray, direction: int) -> np.ndarray:
+    """Shift the box angle by the annotated facing direction and swap
+    W/L for sideways boxes (reference dataset/dataset.py:520-536);
+    directions -1/0/6 are ambiguous and left unchanged."""
+    p7 = np.asarray(p7, np.float32).copy()
+    if 1 < direction < 5:
+        p7[6] += (direction - 1) * np.deg2rad(90.0)
+        if direction in (2, 4):
+            p7[0], p7[1] = p7[1], p7[0]
+    return p7
+
+
+ANGLE_BINS_24 = np.linspace(0, np.deg2rad(360.0), 24)
 
 
 class RScanDataset:
     def __init__(self, root: str, split: str = "train", use_scene_rels: bool = True,
                  with_clip: bool = False, clip_dim: int = 512,
-                 data_len: Optional[int] = None):
+                 data_len: Optional[int] = None,
+                 use_points: bool = False, npoints: int = 1024,
+                 root_3rscan: Optional[str] = None,
+                 label_file: str = "labels.instances.annotated.v2.ply",
+                 use_canonical: bool = False, scale_func: str = "diag",
+                 normalize_boxes: bool = False, seed: int = 0):
+        """``use_points`` loads the annotated scan PLY
+        (``root_3rscan/<scan>/<label_file>``), segments vertices by the
+        per-vertex objectId, samples ``npoints`` per instance and
+        normalizes each set against its oriented box — the reference
+        RIODatasetSceneGraph points path (dataset/dataset.py:470-640).
+        ``normalize_boxes`` applies the legacy accumulated box stats
+        (reference non-vae_baseline branch, dataset/dataset.py:543-548);
+        off by default to keep raw metric boxes."""
         self.root = root
         self.use_scene_rels = use_scene_rels
         self.with_clip = with_clip
         self.clip_dim = clip_dim
         self.data_len = data_len
+        self.use_points = use_points
+        self.npoints = npoints
+        self.root_3rscan = root_3rscan or root
+        self.label_file = label_file
+        self.use_canonical = use_canonical
+        self.scale_func = scale_func
+        self.normalize_boxes = normalize_boxes
+        self.rng = np.random.RandomState(seed)
+        self._ply_cache: Dict[str, tuple] = {}
 
         with open(os.path.join(root, "classes.txt")) as f:
             classes = [ln.strip() for ln in f if ln.strip()]
@@ -82,22 +206,55 @@ class RScanDataset:
     def __len__(self) -> int:
         return self.data_len if self.data_len is not None else len(self.scans)
 
+    def _scan_points(self, scan_id: str):
+        """Annotated scene PLY → (points [N,3], vertex objectIds [N]),
+        cached per scan (reference dataset/dataset.py:473-479 file cache).
+        The reference keys scans as '<id>_<split-section>'; the PLY lives
+        under the bare id (dataset/dataset.py:386-399)."""
+        base = scan_id.split("_")[0]
+        if base not in self._ply_cache:
+            path = os.path.join(self.root_3rscan, base, self.label_file)
+            self._ply_cache[base] = read_ply_labeled(path)
+        return self._ply_cache[base]
+
+    def _instance_labels(self, scan_id: str) -> Optional[Dict[int, str]]:
+        """semseg.v2.json / semseg.json instance→label map when present
+        (reference dataset/dataset.py:400-408)."""
+        base = scan_id.split("_")[0]
+        for name in ("semseg.v2.json", "semseg.json"):
+            p = os.path.join(self.root_3rscan, base, name)
+            if os.path.exists(p):
+                return load_semseg(p)
+        return None
+
     def __getitem__(self, index: int) -> RawScene:
         scan = self.scans[index % len(self.scans)]
         scan_id = scan.get("scan", str(index))
         objects = {int(k): v for k, v in scan.get("objects", {}).items()}
+        # prefer the semseg instance→label map when the per-scan tree
+        # ships one; relationships-json objects otherwise
+        semseg = self._instance_labels(scan_id) if self.use_points else None
+        if semseg:
+            objects = {i: lb for i, lb in semseg.items() if i in objects}
 
         inst_to_slot, cat_ids = {}, []
-        boxes = []
+        boxes, angles, raw_p7s, inst_ids = [], [], [], []
         box_data = self.boxes.get(scan_id, {})
         for inst_id, label in objects.items():
             if label not in self.vocab.class_to_idx:
                 continue
             inst_to_slot[inst_id] = len(cat_ids)
             cat_ids.append(self.vocab.class_to_idx[label])
+            inst_ids.append(inst_id)
             entry = box_data.get(str(inst_id), {})
-            p7 = entry.get("param7", [1, 1, 1, 0, 0, 0, 0])
-            boxes.append(np.asarray(p7[:6], np.float32))
+            p7 = np.asarray(entry.get("param7", [1, 1, 1, 0, 0, 0, 0]),
+                            np.float32)
+            if self.use_canonical and "direction" in entry:
+                p7 = apply_canonical_direction(p7, int(entry["direction"]))
+            raw_p7s.append(p7)
+            angles.append(int(np.digitize(p7[6], ANGLE_BINS_24)))
+            boxes.append(normalize_box_params_legacy(p7)[:6]
+                         if self.normalize_boxes else p7[:6])
 
         triples = []
         for r in scan.get("relationships", []):
@@ -106,12 +263,40 @@ class RScanDataset:
                     and 1 <= p < self.vocab.num_pred_classes:
                 triples.append([inst_to_slot[s], p, inst_to_slot[o]])
 
+        obj_points = None
+        if self.use_points:
+            pts, vert_ids = self._scan_points(scan_id)
+            n_sets = len(cat_ids) + int(self.use_scene_rels)
+            obj_points = np.zeros((n_sets, self.npoints, 3), np.float32)
+            for i, inst_id in enumerate(inst_ids):
+                sel = (pts[vert_ids == inst_id]
+                       if vert_ids is not None else pts[:0])
+                if len(sel) == 0:
+                    continue  # annotated-but-unsegmented instance: zeros
+                if len(sel) >= self.npoints:
+                    choice = self.rng.choice(len(sel), self.npoints,
+                                             replace=False)
+                else:
+                    # fill by repetition, then shuffle
+                    # (reference dataset/dataset.py:616-623)
+                    extra = self.rng.choice(len(sel),
+                                            self.npoints - len(sel),
+                                            replace=True)
+                    choice = np.concatenate([np.arange(len(sel)), extra])
+                    self.rng.shuffle(choice)
+                obj_points[i] = norm_points(
+                    sel[choice], raw_p7s[i], scale=True,
+                    rotation=self.use_canonical,
+                    scale_func=self.scale_func)
+
         if self.use_scene_rels:
             root_slot = len(cat_ids)
             for i in range(len(cat_ids)):
                 triples.append([i, 0, root_slot])
             cat_ids.append(self.vocab.scene_class_id)
             boxes.append(np.full(6, -1.0, np.float32))
+            angles.append(0)
+            inst_ids.append(-1)
 
         n = len(cat_ids)
         objs = np.asarray(cat_ids, np.int32)
@@ -120,10 +305,12 @@ class RScanDataset:
             objs_grained=objs.copy(),
             triples=np.asarray(triples, np.int32).reshape(-1, 3),
             boxes=np.stack(boxes) if boxes else np.zeros((0, 6), np.float32),
-            angles=np.zeros(n, np.int32),
+            angles=np.asarray(angles, np.int32),
             text_feats=np.zeros((n, self.clip_dim), np.float32)
             if self.with_clip else None,
             rel_feats=np.zeros((len(triples), self.clip_dim), np.float32)
             if self.with_clip else None,
             scan_id=scan_id,
+            instance_ids=np.asarray(inst_ids, np.int32),
+            points=obj_points,
         )

@@ -134,3 +134,117 @@ def test_rscan_reference_filenames(tmp_path):
                               ds.vocab.class_to_idx["chair"])[0][0])
     np.testing.assert_allclose(scene.boxes[chair_slot],
                                [1, 2, 3, 0.5, 0.6, 0.7])
+
+
+def test_ply_labeled_roundtrip(tmp_path):
+    """objectId-annotated PLY (the 3RScan layout, reference
+    dataset/util.py:33-65) round-trips through the property-aware
+    reader in both ascii and binary."""
+    from commonscenes_tpu.data.ply import read_ply_labeled, write_ply_labeled
+    pts = np.random.RandomState(0).randn(37, 3).astype(np.float32)
+    ids = np.random.RandomState(1).randint(0, 5, 37)
+    for ascii_fmt in (False, True):
+        p = str(tmp_path / f"scan_{ascii_fmt}.ply")
+        write_ply_labeled(p, pts, ids, ascii_fmt=ascii_fmt)
+        rp, rl = read_ply_labeled(p)
+        np.testing.assert_allclose(rp, pts, atol=1e-5)
+        np.testing.assert_array_equal(rl, ids)
+
+
+def test_norm_points_semantics():
+    """norm_points matches the reference norm_tensor contract
+    (dataset/dataset.py:316-362): box-centering, canonical rotation,
+    and the three scale functions."""
+    from commonscenes_tpu.data.rscan import get_rotation_z, norm_points
+    rs = np.random.RandomState(0)
+    p = rs.randn(200, 3).astype(np.float32) * 0.3
+    p7 = np.array([2.0, 1.0, 0.5, 3.0, -1.0, 0.25, np.deg2rad(30)],
+                  np.float32)
+    shifted = p + p7[3:6]
+
+    # center only: exact inverse of the shift
+    out = norm_points(shifted, p7, center=True)
+    np.testing.assert_allclose(out, p, atol=1e-5)
+
+    # diag scaling without rotation: rotate-in/scale/rotate-back ==
+    # plain division by the box diagonal
+    out = norm_points(shifted, p7, scale=True, scale_func="diag")
+    np.testing.assert_allclose(out, p / np.linalg.norm(p7[:3]), atol=1e-5)
+
+    # rotation=True rotates by -angle and does NOT rotate back
+    out = norm_points(shifted, p7, scale=True, rotation=True,
+                      scale_func="diag")
+    expect = (get_rotation_z(-float(p7[6])) @ p.T).T / np.linalg.norm(p7[:3])
+    np.testing.assert_allclose(out, expect, atol=1e-5)
+
+    # whl_after maps observed extents exactly onto [-1, 1]
+    out = norm_points(shifted, p7, scale=True, scale_func="whl_after",
+                      rotation=True)
+    assert out.min() >= -1.0 - 1e-5 and out.max() <= 1.0 + 1e-5
+    np.testing.assert_allclose(out.max(0), 1.0, atol=1e-5)
+
+
+def test_rscan_legacy_box_stats_roundtrip():
+    from commonscenes_tpu.data.rscan import (
+        apply_canonical_direction, denormalize_box_params_legacy,
+        normalize_box_params_legacy)
+    p7 = np.array([1.5, 0.8, 2.0, 0.3, -0.2, 0.1, 1.1], np.float32)
+    np.testing.assert_allclose(
+        denormalize_box_params_legacy(normalize_box_params_legacy(p7)),
+        p7, atol=1e-5)
+    # direction 2 (sideways): +90° and W/L swap; 6 is ambiguous → no-op
+    c = apply_canonical_direction(p7, 2)
+    assert abs(c[6] - (p7[6] + np.pi / 2)) < 1e-6
+    assert c[0] == p7[1] and c[1] == p7[0]
+    np.testing.assert_array_equal(apply_canonical_direction(p7, 6), p7)
+
+
+def test_rscan_points_path(tmp_path):
+    """End-to-end reference points pipeline (dataset/dataset.py:470-640):
+    annotated PLY + semseg.v2.json + boxes → per-instance sampled,
+    box-normalized point sets in RawScene.points."""
+    from commonscenes_tpu.data.ply import write_ply_labeled
+    from commonscenes_tpu.data.rscan import RScanDataset
+
+    root = tmp_path / "rscan_pts"
+    root.mkdir()
+    (root / "classes.txt").write_text("chair\ntable\n")
+    (root / "relationships.txt").write_text("left\nright\n")
+    (root / "relationships_train.json").write_text(json.dumps({"scans": [{
+        "scan": "scanX_0",
+        "objects": {"1": "chair", "2": "table"},
+        "relationships": [[1, 2, 1, "left"]],
+    }]}))
+    (root / "obj_boxes_train_refined.json").write_text(json.dumps({
+        "scanX_0": {"1": {"param7": [1, 1, 1, 2.0, 0.0, 0.0, 0.0],
+                          "direction": 1},
+                    "2": {"param7": [2, 1, 1, -2.0, 0.0, 0.0, 0.0],
+                          "direction": 2}}}))
+    scan_dir = root / "scanX"
+    scan_dir.mkdir()
+    (scan_dir / "semseg.v2.json").write_text(json.dumps({"segGroups": [
+        {"id": 1, "label": "Chair"}, {"id": 2, "label": "table"}]}))
+    rs = np.random.RandomState(0)
+    pts1 = rs.randn(300, 3) * 0.2 + np.array([2.0, 0, 0])   # chair cluster
+    pts2 = rs.randn(40, 3) * 0.2 + np.array([-2.0, 0, 0])   # table: < npoints
+    pts = np.concatenate([pts1, pts2]).astype(np.float32)
+    ids = np.concatenate([np.full(300, 1), np.full(40, 2)])
+    write_ply_labeled(str(scan_dir / "labels.instances.annotated.v2.ply"),
+                      pts, ids)
+
+    ds = RScanDataset(str(root), split="train", use_points=True,
+                      npoints=128, use_canonical=True, seed=3)
+    scene = ds[0]
+    assert scene.points is not None and scene.points.shape == (3, 128, 3)
+    assert np.all(scene.points[-1] == 0)            # scene-root slot
+    chair = int(np.where(scene.objs == ds.vocab.class_to_idx["chair"])[0][0])
+    table = int(np.where(scene.objs == ds.vocab.class_to_idx["table"])[0][0])
+    # chair: centered at its box center, diag-scaled — centroid near 0,
+    # radius bounded by ~3σ/diag
+    assert np.abs(scene.points[chair].mean(0)).max() < 0.15
+    assert np.linalg.norm(scene.points[chair], axis=1).max() < 1.5
+    # table had 40 < 128 source points: all sampled points come from the
+    # normalized source set (repetition fill, not padding zeros)
+    assert not np.any(np.all(scene.points[table] == 0, axis=1))
+    # canonical direction 2 swapped the table's W/L in the box
+    np.testing.assert_allclose(scene.boxes[table][:2], [1.0, 2.0])
