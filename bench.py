@@ -117,10 +117,11 @@ def main():
     # the CFG-dedup prefix only engages for crossattn conditioning
     # (models/commonscenes.py _gen_shapes); concat runs the naive program
     dedup = cfg.diffusion.conditioning_key == "crossattn"
-    flops_exec = sample_flops(cfg.unet, cfg.vqvae,
-                              num_objs=int(slots.shape[0]),
-                              ddim_steps=cfg.diffusion.ddim_steps,
-                              cfg_dedup=dedup)
+    flops_exec = sample_flops(
+        cfg.unet, cfg.vqvae, num_objs=int(slots.shape[0]),
+        ddim_steps=cfg.diffusion.ddim_steps, cfg_dedup=dedup,
+        upsample_parity=os.environ.get("COMMONSCENES_UPSAMPLE",
+                                       "parity") != "naive")
 
     def fetch(out):
         # host-fetch a scalar that depends on the last-produced buffer: over

@@ -18,7 +18,8 @@ def _conv_flops(vox: int, cin: int, cout: int, k: int = 27) -> float:
 
 
 def unet_forward_flops(cfg: UNetConfig, batch: int,
-                       cfg_pair_base: int = 0) -> float:
+                       cfg_pair_base: int = 0,
+                       upsample_parity: bool = False) -> float:
     """One denoiser forward at [batch, S, S, S, in_channels] where S =
     cfg.image_size; H/W halve per level, depth stays (reference
     openai_model_3d.py:150-158).
@@ -26,6 +27,10 @@ def unet_forward_flops(cfg: UNetConfig, batch: int,
     ``cfg_pair_base > 0``: account the CFG-deduped forward (nn/unet3d.py
     cfg_pair) — blocks before the first attention run at ``cfg_pair_base``
     (K) while everything after runs at ``batch`` (2K).
+
+    ``upsample_parity=True`` counts the parity-decomposed upsample conv
+    (nn/unet3d.py UpsampleHW: 12 of 27 taps) — the executed program's
+    cost; False counts the reference's materialized repeat→3³-conv.
     """
     S = cfg.image_size
     mc = cfg.model_channels
@@ -99,7 +104,8 @@ def unet_forward_flops(cfg: UNetConfig, batch: int,
                 total += attn_block(vox, ch)
             if level and i == cfg.num_res_blocks:
                 vox *= 4
-                total += _conv_flops(vox, ch, ch)
+                total += _conv_flops(vox, ch, ch) * (
+                    12.0 / 27.0 if upsample_parity else 1.0)
                 ds //= 2
     total += _conv_flops(vox, ch, cfg.out_channels)
     return total * batch
@@ -137,7 +143,8 @@ def vqvae_decode_flops(cfg: VQVAEConfig, batch: int) -> float:
 
 def sample_flops(unet_cfg: UNetConfig, vq_cfg: VQVAEConfig, num_objs: int,
                  ddim_steps: int, cfg_scale_batched: bool = True,
-                 cfg_dedup: bool = False) -> float:
+                 cfg_dedup: bool = False,
+                 upsample_parity: bool = False) -> float:
     """FLOPs to generate shapes for one scene's objects with DDIM + CFG.
 
     ``cfg_dedup=True`` counts the ACTUAL executed FLOPs of the CFG-deduped
@@ -145,5 +152,6 @@ def sample_flops(unet_cfg: UNetConfig, vq_cfg: VQVAEConfig, num_objs: int,
     2×-batched program (the right denominator for the A100 baseline)."""
     b = num_objs * (2 if cfg_scale_batched else 1)
     base = num_objs if (cfg_dedup and cfg_scale_batched) else 0
-    return (ddim_steps * unet_forward_flops(unet_cfg, b, cfg_pair_base=base)
+    return (ddim_steps * unet_forward_flops(unet_cfg, b, cfg_pair_base=base,
+                                            upsample_parity=upsample_parity)
             + vqvae_decode_flops(vq_cfg, num_objs))
