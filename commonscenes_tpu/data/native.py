@@ -42,6 +42,8 @@ def load_library() -> Optional[ctypes.CDLL]:
         lib.denormalize_boxes.argtypes = lib.normalize_boxes.argtypes
         lib.nn_distance_cpu.argtypes = [f32p, i64, f32p, i64, f32p, f32p]
         lib.bin_angles.argtypes = [f32p, i32p, i64, ctypes.c_int32]
+        lib.partition_vertices.argtypes = [i32p, i64, i32p, i64, i32p,
+                                           ctypes.POINTER(ctypes.c_int64)]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -129,3 +131,24 @@ def bin_angles(angles_rad: np.ndarray, nbins: int = 24) -> np.ndarray:
         return out
     bins = np.linspace(-np.pi, np.pi, nbins)
     return np.clip(np.digitize(angles_rad, bins) - 1, 0, nbins - 1).astype(np.int32)
+
+
+def partition_vertices(vert_ids: np.ndarray, inst_ids: np.ndarray):
+    """Partition annotated-scan vertex indices by instance id in one pass
+    (3RScan points path). Returns ``(idx [V'], off [n+1])`` with instance
+    ``i``'s vertex indices at ``idx[off[i]:off[i+1]]``."""
+    vert_ids = np.ascontiguousarray(vert_ids, np.int32)
+    inst_ids = np.ascontiguousarray(inst_ids, np.int32)
+    n, V = inst_ids.shape[0], vert_ids.shape[0]
+    lib = load_library()
+    if lib is not None and V and n:
+        idx = np.empty(V, np.int32)
+        off = np.empty(n + 1, np.int64)
+        lib.partition_vertices(_ip(vert_ids), V, _ip(inst_ids), n,
+                               _ip(idx), off.ctypes.data_as(
+                                   ctypes.POINTER(ctypes.c_int64)))
+        return idx[: off[n]].copy(), off
+    parts = [np.where(vert_ids == i)[0].astype(np.int32) for i in inst_ids]
+    off = np.zeros(n + 1, np.int64)
+    off[1:] = np.cumsum([len(p) for p in parts])
+    return (np.concatenate(parts) if parts else np.zeros(0, np.int32)), off

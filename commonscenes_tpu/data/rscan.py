@@ -265,11 +265,17 @@ class RScanDataset:
 
         obj_points = None
         if self.use_points:
+            from commonscenes_tpu.data import native as dk
             pts, vert_ids = self._scan_points(scan_id)
             n_sets = len(cat_ids) + int(self.use_scene_rels)
             obj_points = np.zeros((n_sets, self.npoints, 3), np.float32)
+            if vert_ids is not None and inst_ids:
+                # one counting-sort pass over the scan instead of a masked
+                # scan per instance (native kernel, numpy fallback)
+                idx, off = dk.partition_vertices(
+                    vert_ids, np.asarray(inst_ids, np.int32))
             for i, inst_id in enumerate(inst_ids):
-                sel = (pts[vert_ids == inst_id]
+                sel = (pts[idx[off[i]:off[i + 1]]]
                        if vert_ids is not None else pts[:0])
                 if len(sel) == 0:
                     continue  # annotated-but-unsegmented instance: zeros

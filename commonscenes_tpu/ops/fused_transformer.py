@@ -187,9 +187,69 @@ def _q_tile(N: int) -> int:
     return tq
 
 
+def _q_tile_batched(N: int, heads: int) -> int:
+    """q tile for the all-heads-batched kernel: score+prob are
+    [H, Tq, N] fp32 and coexist — budget 6 MB."""
+    tq = N
+    while tq > 64 and 2 * heads * tq * N * 4 > 6 * 1024 * 1024:
+        tq //= 2
+    return tq
+
+
+def _attn_out_kernel_batched(q_ref, k_ref, v_ref, x_ref, wo_ref, bo_ref,
+                             o_ref, *, scale: float, heads: int, tq: int):
+    """All heads per q-tile: one batched QK^T, one batched PV, one
+    batched out-projection summed over heads — the head-loop variant's
+    serial per-head chains leave the MXU/VPU unpipelined (profiled
+    ~20 TF/s; see _attn_out_kernel). A single flat [Tq, H·Dp] @ [H·Dp, C]
+    out-projection would be better still, but Mosaic cannot shape-cast
+    the [Tq, H, Dp] PV output across the lane dimension."""
+    N = q_ref.shape[2]
+    k = k_ref[0]                                    # [H, N, Dp] bf16
+    v = v_ref[0]
+    bo = bo_ref[:]
+    for j in range(N // tq):
+        q = q_ref[0, :, j * tq:(j + 1) * tq]        # [H, Tq, Dp]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale   # [H, Tq, N]
+        m = jnp.max(s, axis=2, keepdims=True)
+        p = jnp.exp(s - m)
+        p = (p / jnp.sum(p, axis=2, keepdims=True)).astype(v.dtype)
+        o = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)     # [H, Tq, Dp]
+        ow = jax.lax.dot_general(
+            o.astype(v.dtype), wo_ref[:], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)     # [H, Tq, C]
+        acc = x_ref[0, j * tq:(j + 1) * tq].astype(jnp.float32) + bo
+        acc = acc + jnp.sum(ow, axis=0)
+        o_ref[0, j * tq:(j + 1) * tq] = acc.astype(o_ref.dtype)
+
+
 def _attn_out_impl(q, k, v, x, wo, bo, scale):
+    import os
     B, H, N, Dp = q.shape
     C = x.shape[-1]
+    if os.environ.get("COMMONSCENES_ATTN_KERNEL", "batched") == "batched":
+        tq = _q_tile_batched(N, H)
+        out = pl.pallas_call(
+            functools.partial(_attn_out_kernel_batched, scale=scale,
+                              heads=H, tq=tq),
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, H, N, Dp), lambda b: (b, 0, 0, 0)),
+                pl.BlockSpec((1, H, N, Dp), lambda b: (b, 0, 0, 0)),
+                pl.BlockSpec((1, H, N, Dp), lambda b: (b, 0, 0, 0)),
+                pl.BlockSpec((1, N, C), lambda b: (b, 0, 0)),
+                pl.BlockSpec((H, Dp, C), lambda b: (0, 0, 0)),
+                pl.BlockSpec((C,), lambda b: (0,)),
+            ],
+            out_specs=pl.BlockSpec((1, N, C), lambda b: (b, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
+            interpret=_interpret(),
+        )(q, k, v, x, wo, bo.astype(jnp.float32))
+        return out
     tq = _q_tile(N)
     out = pl.pallas_call(
         functools.partial(_attn_out_kernel, scale=scale, heads=H, tq=tq),

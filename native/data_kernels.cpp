@@ -138,4 +138,36 @@ void bin_angles(const float* angles_rad, int32_t* bins, int64_t n,
   });
 }
 
+// Partition annotated-scan vertices by instance id (the legacy 3RScan
+// points path, dataset/dataset.py:600-607: the reference scans the whole
+// vertex array once per instance; this is one counting-sort pass for all
+// instances). vert_ids: [V] per-vertex objectIds; inst_ids: [n] queried
+// instances. Writes packed vertex indices to out_idx (capacity V) with
+// per-instance ranges out_off[i] .. out_off[i+1]; vertices whose id
+// matches no queried instance are dropped.
+void partition_vertices(const int32_t* vert_ids, int64_t V,
+                        const int32_t* inst_ids, int64_t n,
+                        int32_t* out_idx, int64_t* out_off) {
+  int32_t max_id = 0;
+  for (int64_t i = 0; i < n; ++i)
+    max_id = inst_ids[i] > max_id ? inst_ids[i] : max_id;
+  // dense id→slot map (3RScan instance ids are small dense ints)
+  std::vector<int32_t> slot(static_cast<size_t>(max_id) + 1, -1);
+  for (int64_t i = 0; i < n; ++i)
+    if (inst_ids[i] >= 0) slot[inst_ids[i]] = static_cast<int32_t>(i);
+  std::vector<int64_t> counts(n, 0);
+  for (int64_t v = 0; v < V; ++v) {
+    int32_t id = vert_ids[v];
+    if (id >= 0 && id <= max_id && slot[id] >= 0) ++counts[slot[id]];
+  }
+  out_off[0] = 0;
+  for (int64_t i = 0; i < n; ++i) out_off[i + 1] = out_off[i] + counts[i];
+  std::vector<int64_t> cursor(out_off, out_off + n);
+  for (int64_t v = 0; v < V; ++v) {
+    int32_t id = vert_ids[v];
+    if (id >= 0 && id <= max_id && slot[id] >= 0)
+      out_idx[cursor[slot[id]]++] = static_cast<int32_t>(v);
+  }
+}
+
 }  // extern "C"

@@ -248,3 +248,22 @@ def test_rscan_points_path(tmp_path):
     assert not np.any(np.all(scene.points[table] == 0, axis=1))
     # canonical direction 2 swapped the table's W/L in the box
     np.testing.assert_allclose(scene.boxes[table][:2], [1.0, 2.0])
+
+
+def test_partition_vertices_native_matches_numpy():
+    """Native counting-sort partition == numpy masked selection, including
+    unmatched ids and empty instances."""
+    from commonscenes_tpu.data import native as dk
+    rs = np.random.RandomState(0)
+    vert_ids = rs.randint(0, 9, 5000).astype(np.int32)
+    inst = np.array([3, 7, 11, 0], np.int32)   # 11 matches nothing
+    idx, off = dk.partition_vertices(vert_ids, inst)
+    assert off[0] == 0 and off[-1] == len(idx)
+    for i, iid in enumerate(inst):
+        got = np.sort(idx[off[i]:off[i + 1]])
+        np.testing.assert_array_equal(got, np.where(vert_ids == iid)[0])
+    if dk.load_library() is not None:   # fallback agrees with native
+        parts = [np.where(vert_ids == i)[0] for i in inst]
+        ref_off = np.zeros(len(inst) + 1, np.int64)
+        ref_off[1:] = np.cumsum([len(p) for p in parts])
+        np.testing.assert_array_equal(off, ref_off)
