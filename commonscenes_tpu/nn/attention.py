@@ -130,8 +130,14 @@ class MultiHeadAttention(nn.Module):
                                    (B, N, query_dim)).astype(x.dtype)
             return out if residual is None else residual + out
 
+        import os
         from commonscenes_tpu.ops import flash_attention as fa
-        if context is None and fa.on_tpu() \
+        # stage-size dispatch knobs (A/B; see ops/fused_transformer.py):
+        # below *_MIN_N tokens a path hands off to the next one down
+        # (fused kernel → flash+einsum-out → pure-XLA einsum attention)
+        fused_min_n = int(os.environ.get("COMMONSCENES_FUSED_ATTN_MIN_N", "0"))
+        flash_min_n = int(os.environ.get("COMMONSCENES_FLASH_MIN_N", "0"))
+        if context is None and fa.on_tpu() and N >= flash_min_n \
                 and fa.self_attention_supported(N, d):
             Dp = max((d + 63) // 64 * 64, 64)
 
@@ -152,9 +158,8 @@ class MultiHeadAttention(nn.Module):
             if Dp != d:
                 wo3 = jnp.pad(wo3, ((0, 0), (0, Dp - d), (0, 0)))
 
-            import os
             from commonscenes_tpu.ops import fused_transformer as ft
-            if residual is not None \
+            if residual is not None and N >= fused_min_n \
                     and os.environ.get("COMMONSCENES_FUSED_ATTN", "1") != "0" \
                     and ft.attn_out_supported(B, h, N, Dp, query_dim):
                 # softmax core + out projection + residual: one HBM write
