@@ -21,6 +21,7 @@ maps to ``nn.remat`` instead of the torch CheckpointFunction.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -28,8 +29,28 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from commonscenes_tpu.core.config import UNetConfig
-from commonscenes_tpu.nn.attention import GroupNorm, SpatialTransformer3D
-from commonscenes_tpu.nn.conv3d import Conv3D
+from commonscenes_tpu.nn.attention import GroupNorm, SpatialTransformer3D, group_norm
+from commonscenes_tpu.nn.conv3d import Conv3D, conv3d
+
+
+def _gn_groups(C: int, num_groups: int = 32) -> int:
+    """Group count the GroupNorm layer will actually use for width C
+    (mirrors nn/attention.group_norm's divisor fallback)."""
+    if C % num_groups == 0:
+        return num_groups
+    return next(d for d in range(min(num_groups, C), 0, -1) if C % d == 0)
+
+
+def skip_split_supported(h_ch: int, skip_ch: int, out_ch: int) -> bool:
+    """True when a decoder res block over concat([h, skip], -1) can compute
+    the skip-side norm1/conv1/skip-projection separately: the GroupNorm
+    group boundaries must align with the concat seam (group size of the
+    fused width divides h_ch), and the residual projection must exist."""
+    in_ch = h_ch + skip_ch
+    if in_ch == out_ch:
+        return False
+    gsz = in_ch // _gn_groups(in_ch)
+    return h_ch % gsz == 0
 
 
 def timestep_embedding(timesteps: jax.Array, dim: int,
@@ -52,9 +73,43 @@ def conv3(features: int, name: str, zero_init: bool = False,
                   padding=1, kernel_init=init, dtype=dtype, name=name)
 
 
+class _GNParams(nn.Module):
+    """Parameter twin of GroupNorm ({scale, bias}), used by the split call
+    form so the pytree matches the fused module exactly."""
+
+    @nn.compact
+    def __call__(self, C: int):
+        s = self.param("scale", nn.initializers.ones, (C,))
+        b = self.param("bias", nn.initializers.zeros, (C,))
+        return s, b
+
+
+class _Conv1Params(nn.Module):
+    """Parameter twin of the 1×1×1 nn.Conv residual projection."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (1, 1, 1, cin, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class ResBlock3D(nn.Module):
     """GN→SiLU→conv, +time-emb, GN→SiLU→zero-conv, with skip projection
-    (reference openai_model_3d.py:202-314, use_scale_shift_norm=False)."""
+    (reference openai_model_3d.py:202-314, use_scale_shift_norm=False).
+
+    Split call form (``skip`` given): ``x`` [2K, ...] is the CFG-doubled
+    decoder hidden and ``skip`` [K, ...] a context-free encoder skip shared
+    verbatim by both CFG halves. The logical input is
+    concat([x, tile2(skip)], -1); because the GroupNorm group boundaries
+    align with the concat seam (caller checks ``skip_split_supported``),
+    norm1, conv1 and the residual projection are linear in the two channel
+    slices — the skip-side work runs ONCE at batch K and is duplicated.
+    Same math as the standard form on the tiled concat (conv reductions
+    re-associate, so equality is to fp tolerance, not bitwise)."""
 
     out_channels: int
     dropout: float = 0.0
@@ -62,10 +117,26 @@ class ResBlock3D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, emb: jax.Array,
-                 deterministic: bool = True) -> jax.Array:
-        in_ch = x.shape[-1]
-        h = GroupNorm(silu=True, eps=1e-5, name="norm1")(x)
-        h = conv3(self.out_channels, "conv1", dtype=self.dtype)(h)
+                 deterministic: bool = True,
+                 skip: Optional[jax.Array] = None) -> jax.Array:
+        dt = self.dtype or x.dtype
+        if skip is not None:
+            h_ch, s_ch = x.shape[-1], skip.shape[-1]
+            in_ch = h_ch + s_ch
+            gsc, gbi = _GNParams(name="norm1")(in_ch)
+            k1, b1 = _Conv3Params(self.out_channels, name="conv1")(in_ch)
+            gsz = in_ch // _gn_groups(in_ch)
+            hn = group_norm(x, gsc[:h_ch], gbi[:h_ch], h_ch // gsz,
+                            eps=1e-5, silu=True)
+            sn = group_norm(skip, gsc[h_ch:], gbi[h_ch:], s_ch // gsz,
+                            eps=1e-5, silu=True)
+            ya = conv3d(hn.astype(dt), k1[..., :h_ch, :].astype(dt))
+            yb = conv3d(sn.astype(dt), k1[..., h_ch:, :].astype(dt))
+            h = ya + jnp.concatenate([yb, yb], axis=0) + b1.astype(dt)
+        else:
+            in_ch = x.shape[-1]
+            h = GroupNorm(silu=True, eps=1e-5, name="norm1")(x)
+            h = conv3(self.out_channels, "conv1", dtype=self.dtype)(h)
 
         emb_out = nn.Dense(self.out_channels, dtype=self.dtype,
                            name="emb_proj")(nn.silu(emb))
@@ -75,6 +146,13 @@ class ResBlock3D(nn.Module):
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = conv3(self.out_channels, "conv2", zero_init=True, dtype=self.dtype)(h)
+
+        if skip is not None:
+            ks, bs = _Conv1Params(self.out_channels, name="skip")(in_ch)
+            xa = x.astype(dt) @ ks[0, 0, 0, :h_ch].astype(dt)
+            xb = skip.astype(dt) @ ks[0, 0, 0, h_ch:].astype(dt)
+            res = xa + jnp.concatenate([xb, xb], axis=0) + bs.astype(dt)
+            return res + h
 
         if in_ch != self.out_channels:
             x = nn.Conv(self.out_channels, kernel_size=(1, 1, 1),
@@ -126,7 +204,6 @@ class UpsampleHW(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        import os
         B, D, H, W, C = x.shape
         if os.environ.get("COMMONSCENES_UPSAMPLE", "parity") == "naive":
             x = jnp.repeat(x, 2, axis=2)
@@ -219,8 +296,10 @@ class UNet3D(nn.Module):
                                name=f"down_res_{block}")(h, emb, deterministic)
                 if ds in cfg.attention_resolutions:
                     if not doubled:
+                        # skips stay at batch K — the decoder either splits
+                        # them out of the concat (context-free skip-side
+                        # compute once at K) or tiles them at pop time
                         h = tile2(h)
-                        hs = [tile2(s) for s in hs]
                         emb = tile2(emb)
                         doubled = True
                     h = attn_layer(ch, f"down_attn_{block}")(h, context)
@@ -237,7 +316,6 @@ class UNet3D(nn.Module):
                        name="mid_res_0")(h, emb, deterministic)
         if not doubled:
             h = tile2(h)
-            hs = [tile2(s) for s in hs]
             emb = tile2(emb)
             doubled = True
         h = attn_layer(ch, "mid_attn")(h, context)
@@ -250,9 +328,23 @@ class UNet3D(nn.Module):
             ch = mc * mult
             for i in range(cfg.num_res_blocks + 1):
                 skip = hs.pop()
-                h = jnp.concatenate([h, skip], axis=-1)
-                h = ResBlock3D(ch, cfg.dropout, dtype=self.dtype,
-                               name=f"up_res_{block}")(h, emb, deterministic)
+                # a skip still at batch K under a doubled h is context-free
+                # (recorded before the first cross-attention)
+                untiled = skip.shape[0] * 2 == h.shape[0]
+                if untiled and skip_split_supported(h.shape[-1],
+                                                    skip.shape[-1], ch) \
+                        and os.environ.get("COMMONSCENES_SKIP_SPLIT",
+                                           "1") != "0":
+                    h = ResBlock3D(ch, cfg.dropout, dtype=self.dtype,
+                                   name=f"up_res_{block}")(
+                        h, emb, deterministic, skip=skip)
+                else:
+                    if untiled:
+                        skip = tile2(skip)
+                    h = jnp.concatenate([h, skip], axis=-1)
+                    h = ResBlock3D(ch, cfg.dropout, dtype=self.dtype,
+                                   name=f"up_res_{block}")(h, emb,
+                                                           deterministic)
                 if ds in cfg.attention_resolutions:
                     h = attn_layer(ch, f"up_attn_{block}")(h, context)
                 if level and i == cfg.num_res_blocks:

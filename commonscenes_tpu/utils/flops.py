@@ -31,7 +31,13 @@ def unet_forward_flops(cfg: UNetConfig, batch: int,
     ``upsample_parity=True`` counts the parity-decomposed upsample conv
     (nn/unet3d.py UpsampleHW: 12 of 27 taps) — the executed program's
     cost; False counts the reference's materialized repeat→3³-conv.
+
+    When ``cfg_pair_base > 0``, decoder blocks whose skip was recorded
+    before the first attention run the skip-side norm1/conv1/residual-
+    projection once at K (nn/unet3d.py ResBlock3D split form, gated by
+    skip_split_supported).
     """
+    from commonscenes_tpu.nn.unet3d import skip_split_supported
     S = cfg.image_size
     mc = cfg.model_channels
     total = 0.0
@@ -73,7 +79,10 @@ def unet_forward_flops(cfg: UNetConfig, batch: int,
     ch = mc
     total += _conv_flops(vox, cfg.in_channels, mc) * scale()
     ds = 1
-    skips = [(vox, mc)]
+    # (vox, ch, shared): shared marks skips recorded before the first
+    # attention — identical across CFG halves, eligible for the decoder
+    # skip split
+    skips = [(vox, mc, not state["doubled"])]
     # encoder
     for level, mult in enumerate(cfg.channel_mult):
         cout = mc * mult
@@ -83,12 +92,12 @@ def unet_forward_flops(cfg: UNetConfig, batch: int,
             if ds in cfg.attention_resolutions:
                 mark_doubled()
                 total += attn_block(vox, ch)
-            skips.append((vox, ch))
+            skips.append((vox, ch, not state["doubled"]))
         if level != len(cfg.channel_mult) - 1:
             total += _conv_flops(vox // 4, ch, ch) * scale()  # strided (1,2,2)
             vox //= 4
             ds *= 2
-            skips.append((vox, ch))
+            skips.append((vox, ch, not state["doubled"]))
     # middle
     total += res_block(vox, ch, ch) * scale()
     mark_doubled()
@@ -97,8 +106,17 @@ def unet_forward_flops(cfg: UNetConfig, batch: int,
     for level, mult in reversed(list(enumerate(cfg.channel_mult))):
         cout = mc * mult
         for i in range(cfg.num_res_blocks + 1):
-            svox, sch = skips.pop()
-            total += res_block(vox, ch + sch, cout)
+            svox, sch, shared = skips.pop()
+            if shared and skip_split_supported(ch, sch, cout):
+                sk = cfg_pair_base / float(batch)
+                f = _conv_flops(vox, ch, cout) \
+                    + _conv_flops(vox, sch, cout) * sk      # conv1 split
+                f += _conv_flops(vox, cout, cout)           # conv2
+                f += _conv_flops(vox, ch, cout, k=1) \
+                    + _conv_flops(vox, sch, cout, k=1) * sk  # skip proj split
+                total += f
+            else:
+                total += res_block(vox, ch + sch, cout)
             ch = cout
             if ds in cfg.attention_resolutions:
                 total += attn_block(vox, ch)

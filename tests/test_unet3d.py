@@ -115,3 +115,54 @@ def test_cfg_pair_matches_naive_doubled_batch():
     dedup = m.apply(v, x, t, c_full, cfg_pair=True)
     np.testing.assert_allclose(np.asarray(dedup), np.asarray(naive),
                                rtol=1e-5, atol=1e-6)
+
+    # the decoder skip-split (context-free skip halves computed once at K)
+    # must agree with its tiled fallback
+    import os
+    os.environ["COMMONSCENES_SKIP_SPLIT"] = "0"
+    try:
+        nosplit = m.apply(v, x, t, c_full, cfg_pair=True)
+    finally:
+        del os.environ["COMMONSCENES_SKIP_SPLIT"]
+    np.testing.assert_allclose(np.asarray(dedup), np.asarray(nosplit),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_skip_split_support_reference_widths():
+    """Group boundaries align for the 16³ decoder blocks (448 = 2×224,
+    group size 14) but span the seam at the level transitions."""
+    from commonscenes_tpu.nn.unet3d import skip_split_supported
+    assert skip_split_supported(224, 224, 224)          # level-0 blocks
+    assert skip_split_supported(448, 448, 448)          # level-1 blocks (28)
+    assert not skip_split_supported(448, 224, 448)      # 672: group 21 spans
+    assert not skip_split_supported(672, 448, 672)      # 1120: group 35 spans
+    assert not skip_split_supported(32, 32, 64)         # residual proj absent
+
+
+def test_flops_accounting_dedup_and_split():
+    """The analytic FLOP model: naive 2K > CFG-dedup, and the skip-split
+    contribution equals its closed form at the reference widths. Of the
+    three 16³ decoder blocks, the first concats the 448-ch upsample output
+    (672 in → group 21 spans the seam) — only the LAST TWO (224+224) halve
+    their skip-side conv1 + residual projection."""
+    import commonscenes_tpu.nn.unet3d as u3
+    from commonscenes_tpu.core.config import UNetConfig as UC
+    from commonscenes_tpu.utils.flops import unet_forward_flops
+    cfg = UC()  # reference sdfusion-txt2shape operating point
+    K = 8
+    naive = unet_forward_flops(cfg, 2 * K)
+    dedup = unet_forward_flops(cfg, 2 * K, cfg_pair_base=K)
+    assert dedup < naive
+
+    orig = u3.skip_split_supported
+    u3.skip_split_supported = lambda *a: False
+    try:
+        dedup_nosplit = unet_forward_flops(cfg, 2 * K, cfg_pair_base=K)
+    finally:
+        u3.skip_split_supported = orig
+    vox = cfg.image_size ** 3
+    mc = cfg.model_channels
+    conv1 = 2.0 * 27 * vox * mc * mc
+    proj = 2.0 * vox * mc * mc
+    expected = 2 * 0.5 * (conv1 + proj) * (2 * K)
+    np.testing.assert_allclose(dedup_nosplit - dedup, expected, rtol=1e-9)
