@@ -247,7 +247,10 @@ class CommonScenesV2Full:
             c_in, uc_in = c_rel, uc_rel
 
         def denoise_fn(x, t, c):
-            return self.denoiser.apply(variables["df"], x, t, c)
+            # inference=True: forward-only program → inference-only kernel
+            # variants are allowed (ops/fused_transformer ftiled FFN)
+            return self.denoiser.apply(variables["df"], x, t, c,
+                                       inference=True)
 
         if sampler == "plms":
             from commonscenes_tpu.diffusion.plms import plms_sample
@@ -260,7 +263,7 @@ class CommonScenesV2Full:
                 # context-free UNet prefix (nn/unet3d.py cfg_pair)
                 def cfg_fn(x, t, c_full):  # noqa: F811
                     return self.denoiser.apply(variables["df"], x, t, c_full,
-                                               cfg_pair=True)
+                                               cfg_pair=True, inference=True)
 
             samples = ddim_sample(denoise_fn, tables, x_T, c_in, uc_in,
                                   uc_scale=uc_scale, cfg_fn=cfg_fn)

@@ -223,6 +223,10 @@ class FeedForward(nn.Module):
 
     mult: int = 4
     dtype: Optional[jnp.dtype] = None
+    # static inference hint: the f-tiled FFN kernel is forward-only
+    # (training programs crash the TPU compile helper with it; see
+    # ops/fused_transformer._ffn_impl)
+    inference: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array,
@@ -243,7 +247,8 @@ class FeedForward(nn.Module):
         if jax.default_backend() == "tpu" \
                 and os.environ.get("COMMONSCENES_FUSED_FFN", "1") != "0":
             out = ft.ffn_fused(x2.astype(dt), ln_scale, ln_bias,
-                               w1.astype(dt), b1, w2.astype(dt), b2)
+                               w1.astype(dt), b1, w2.astype(dt), b2,
+                               1e-5, self.inference)
         else:
             out = ft.ffn_reference(x2.astype(dt), ln_scale, ln_bias,
                                    w1.astype(dt), b1, w2.astype(dt), b2)
@@ -268,6 +273,7 @@ class BasicTransformerBlock(nn.Module):
     dim_head: int
     context_dim: Optional[int] = None
     dtype: Optional[jnp.dtype] = None
+    inference: bool = False   # static hint, see FeedForward.inference
 
     @nn.compact
     def __call__(self, x: jax.Array, context: Optional[jax.Array] = None) -> jax.Array:
@@ -281,8 +287,8 @@ class BasicTransformerBlock(nn.Module):
             nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x), context=context)
         # LayerNorm + GEGLU + out-proj + residual as one fused kernel
         ln_s, ln_b = _LNParams(name="norm3")(x.shape[-1])
-        x = FeedForward(dtype=self.dtype, name="ff")(x, ln_scale=ln_s,
-                                                     ln_bias=ln_b)
+        x = FeedForward(dtype=self.dtype, inference=self.inference,
+                        name="ff")(x, ln_scale=ln_s, ln_bias=ln_b)
         return x
 
 
@@ -298,6 +304,7 @@ class SpatialTransformer3D(nn.Module):
     context_dim: Optional[int] = None
     use_checkpoint: bool = True
     dtype: Optional[jnp.dtype] = None
+    inference: bool = False   # static hint, see FeedForward.inference
 
     @nn.compact
     def __call__(self, x: jax.Array, context: Optional[jax.Array] = None) -> jax.Array:
@@ -314,6 +321,7 @@ class SpatialTransformer3D(nn.Module):
         for i in range(self.depth):
             tokens = block_cls(self.heads, self.dim_head,
                                context_dim=self.context_dim, dtype=self.dtype,
+                               inference=self.inference,
                                name=f"block_{i}")(tokens, context)
 
         h = tokens.reshape(B, D, H, W, inner)

@@ -43,14 +43,22 @@ def _gn_groups(C: int, num_groups: int = 32) -> int:
 
 def skip_split_supported(h_ch: int, skip_ch: int, out_ch: int) -> bool:
     """True when a decoder res block over concat([h, skip], -1) can compute
-    the skip-side norm1/conv1/skip-projection separately: the GroupNorm
-    group boundaries must align with the concat seam (group size of the
-    fused width divides h_ch), and the residual projection must exist."""
+    (most of) the skip-side norm1/conv1/skip-projection once at batch K.
+
+    Aligned case (group size divides h_ch): the whole skip side splits.
+    Span case (one group straddles the seam): the straddling group's stats
+    mix CFG-half-dependent h channels with shared skip channels, so only
+    that group's few skip channels run at 2K — the remaining pure-skip
+    groups still run at K. Requires the residual projection to exist and
+    at least one pure-skip group."""
     in_ch = h_ch + skip_ch
     if in_ch == out_ch:
         return False
     gsz = in_ch // _gn_groups(in_ch)
-    return h_ch % gsz == 0
+    a_h = h_ch % gsz
+    if a_h == 0:
+        return True
+    return skip_ch - (gsz - a_h) >= gsz
 
 
 def timestep_embedding(timesteps: jax.Array, dim: int,
@@ -126,13 +134,57 @@ class ResBlock3D(nn.Module):
             gsc, gbi = _GNParams(name="norm1")(in_ch)
             k1, b1 = _Conv3Params(self.out_channels, name="conv1")(in_ch)
             gsz = in_ch // _gn_groups(in_ch)
-            hn = group_norm(x, gsc[:h_ch], gbi[:h_ch], h_ch // gsz,
-                            eps=1e-5, silu=True)
-            sn = group_norm(skip, gsc[h_ch:], gbi[h_ch:], s_ch // gsz,
-                            eps=1e-5, silu=True)
-            ya = conv3d(hn.astype(dt), k1[..., :h_ch, :].astype(dt))
-            yb = conv3d(sn.astype(dt), k1[..., h_ch:, :].astype(dt))
-            h = ya + jnp.concatenate([yb, yb], axis=0) + b1.astype(dt)
+            a_h = h_ch % gsz
+            if a_h == 0:
+                # aligned seam: the whole skip side normalizes+convolves at K
+                hn = group_norm(x, gsc[:h_ch], gbi[:h_ch], h_ch // gsz,
+                                eps=1e-5, silu=True)
+                sn = group_norm(skip, gsc[h_ch:], gbi[h_ch:], s_ch // gsz,
+                                eps=1e-5, silu=True)
+                ya = conv3d(hn.astype(dt), k1[..., :h_ch, :].astype(dt))
+                yb = conv3d(sn.astype(dt), k1[..., h_ch:, :].astype(dt))
+                h = ya + jnp.concatenate([yb, yb], axis=0) + b1.astype(dt)
+            else:
+                # one group straddles the seam: its gsz channels (a_h from h,
+                # m_s from skip) need joint per-CFG-half statistics; the
+                # g_h pure-h groups run at 2K and the pure-skip groups at K
+                m_s = gsz - a_h            # skip channels in the mixed group
+                ph = h_ch - a_h            # pure-h channel count
+                hn = group_norm(x[..., :ph], gsc[:ph], gbi[:ph], ph // gsz,
+                                eps=1e-5, silu=True)
+                sn = group_norm(skip[..., m_s:], gsc[h_ch + m_s:],
+                                gbi[h_ch + m_s:], (s_ch - m_s) // gsz,
+                                eps=1e-5, silu=True)
+                # mixed-group statistics: shared skip moments + per-half h
+                # moments over (spatial × gsz channels), fp32
+                xm = x[..., ph:].astype(jnp.float32)          # [2K, ..., a_h]
+                sm = skip[..., :m_s].astype(jnp.float32)      # [K, ..., m_s]
+                red = tuple(range(1, x.ndim))
+                n_tot = float(math.prod(x.shape[1:-1])) * gsz
+                s_h = jnp.sum(xm, axis=red)
+                q_h = jnp.sum(xm * xm, axis=red)
+                s_s = jnp.tile(jnp.sum(sm, axis=red), 2)
+                q_s = jnp.tile(jnp.sum(sm * sm, axis=red), 2)
+                mean = (s_h + s_s) / n_tot
+                rstd = jax.lax.rsqrt(
+                    jnp.maximum((q_h + q_s) / n_tot - mean * mean, 0.0)
+                    + 1e-5)
+                bshape = (-1,) + (1,) * (x.ndim - 1)
+                mean_b = mean.reshape(bshape)
+                rstd_b = rstd.reshape(bshape)
+
+                def norm_mix(v, sc, bi):
+                    y = (v - mean_b) * rstd_b * sc + bi
+                    return jax.nn.silu(y).astype(dt)
+
+                xm_n = norm_mix(xm, gsc[ph:h_ch], gbi[ph:h_ch])
+                sm2 = jnp.concatenate([sm, sm], axis=0)
+                sm_n = norm_mix(sm2, gsc[h_ch:h_ch + m_s],
+                                gbi[h_ch:h_ch + m_s])
+                ya = conv3d(jnp.concatenate([hn.astype(dt), xm_n, sm_n], -1),
+                            k1[..., :h_ch + m_s, :].astype(dt))
+                yb = conv3d(sn.astype(dt), k1[..., h_ch + m_s:, :].astype(dt))
+                h = ya + jnp.concatenate([yb, yb], axis=0) + b1.astype(dt)
         else:
             in_ch = x.shape[-1]
             h = GroupNorm(silu=True, eps=1e-5, name="norm1")(x)
@@ -259,7 +311,8 @@ class UNet3D(nn.Module):
     def __call__(self, x: jax.Array, timesteps: jax.Array,
                  context: Optional[jax.Array] = None,
                  deterministic: bool = True,
-                 cfg_pair: bool = False) -> jax.Array:
+                 cfg_pair: bool = False,
+                 inference: bool = False) -> jax.Array:
         cfg = self.cfg
         mc = cfg.model_channels
         time_dim = mc * 4
@@ -282,7 +335,7 @@ class UNet3D(nn.Module):
             return SpatialTransformer3D(
                 heads=heads, dim_head=ch // heads, depth=cfg.transformer_depth,
                 context_dim=cfg.context_dim, use_checkpoint=cfg.use_checkpoint,
-                dtype=self.dtype, name=name)
+                dtype=self.dtype, inference=inference, name=name)
 
         h = conv3(mc, "conv_in", dtype=self.dtype)(x.astype(self.dtype or x.dtype))
         hs = [h]
@@ -372,13 +425,15 @@ class ConditionedDenoiser(nn.Module):
     def __call__(self, x: jax.Array, timesteps: jax.Array,
                  cond: Optional[jax.Array] = None,
                  deterministic: bool = True,
-                 cfg_pair: bool = False) -> jax.Array:
+                 cfg_pair: bool = False,
+                 inference: bool = False) -> jax.Array:
         if self.conditioning_key == "crossattn":
             ctx = cond  # [B, M, context_dim] (or [2B, ...] when cfg_pair)
             unet_in = x
             if cfg_pair:
                 return UNet3D(self.cfg, dtype=self.dtype, name="unet")(
-                    unet_in, timesteps, ctx, deterministic, cfg_pair=True)
+                    unet_in, timesteps, ctx, deterministic, cfg_pair=True,
+                    inference=inference)
         elif self.conditioning_key == "concat":
             B, D, H, W, _ = x.shape
             grid = cond.reshape(B, -1, D, H, W)
@@ -391,4 +446,4 @@ class ConditionedDenoiser(nn.Module):
         else:
             raise NotImplementedError(self.conditioning_key)
         return UNet3D(self.cfg, dtype=self.dtype, name="unet")(
-            unet_in, timesteps, ctx, deterministic)
+            unet_in, timesteps, ctx, deterministic, inference=inference)

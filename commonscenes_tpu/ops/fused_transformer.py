@@ -71,6 +71,56 @@ def _ffn_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     o_ref[:] = (out + xf).astype(o_ref.dtype)
 
 
+def _ffn_kernel_ftiled(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
+                       b2_ref, o_ref, xn_ref, acc_ref, *, eps: float,
+                       nf: int):
+    """F-tiled variant: grid (rows, f-tiles). The GEGLU intermediate only
+    ever exists as a [T, 2·Fb] tile, so the row block T can be 4× larger
+    than the whole-F kernel's — bigger MXU tiles, same math. Weights arrive
+    pre-regrouped per f-tile ([nf, C, 2Fb] / [nf, Fb, C], see _ffn_impl).
+    The out-projection accumulates over f-tiles in fp32 VMEM scratch; the
+    LN result is computed once per row block (j == 0) and cached."""
+    j = pl.program_id(1)
+    x = x_ref[:]                                   # [T, C] bf16
+
+    @pl.when(j == 0)
+    def _ln():
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=1, keepdims=True)
+        xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+        xn_ref[:] = (xn * lns_ref[:] + lnb_ref[:]).astype(x.dtype)
+        acc_ref[:] = x.astype(jnp.float32) + b2_ref[:]
+
+    xn = xn_ref[:]
+    h = jnp.dot(xn, w1_ref[0],
+                preferred_element_type=jnp.float32) + b1_ref[0]
+    Fb = w2_ref.shape[1]
+    a, g = h[:, :Fb], h[:, Fb:]
+    y = (a * 0.5 * g * (1.0 + _erf(g / jnp.sqrt(2.0)))).astype(x.dtype)
+    acc_ref[:] = acc_ref[:] + jnp.dot(y, w2_ref[0],
+                                      preferred_element_type=jnp.float32)
+
+    @pl.when(j == nf - 1)
+    def _out():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _ffn_ftile_shapes(C: int, F: int):
+    """(row block T, f-tile width Fb, tile count nf) fitting ~11 MB VMEM."""
+    budget = 11 * 1024 * 1024
+    for T in (1024, 512, 256, 128):
+        for Fb in (512, 448, 384, 256, 128):
+            if F % Fb:
+                continue
+            w_bytes = (C * 2 * Fb + Fb * C) * 2 * 2   # double-buffered
+            act = T * C * 2 * 2 + T * 2 * Fb * 4 + T * Fb * 2 \
+                + T * C * 4 + T * C * 2               # x, h, y, acc, xn
+            if act + w_bytes <= budget:
+                return T, Fb, F // Fb
+    return None
+
+
 def _ffn_rows_block(C: int, F: int, dtype_bytes: int = 2) -> int:
     """Row block so x + h + y + out (+ weights) fit ~11 MB of VMEM."""
     budget = 11 * 1024 * 1024
@@ -85,9 +135,52 @@ def _ffn_rows_block(C: int, F: int, dtype_bytes: int = 2) -> int:
     return t
 
 
-def _ffn_impl(x2, ln_s, ln_b, w1, b1, w2, b2, eps):
+def _ffn_impl(x2, ln_s, ln_b, w1, b1, w2, b2, eps, ftiled=True):
+    import os
     M, C = x2.shape
     F = w2.shape[0]
+    shapes = _ffn_ftile_shapes(C, F)
+    env = os.environ.get("COMMONSCENES_FFN_KERNEL", "ftiled")
+    # ``ftiled=False`` (training): the f-tiled pallas_call inside the full
+    # fwd+bwd UNet program crashes the TPU compile helper (SIGKILL, 3×
+    # reproduced via cli/train_3dfront; the same kernel compiles fine
+    # standalone and in the sampling program). The win is forward-only
+    # sampling anyway — training keeps the whole-F rows kernel.
+    # env: "rows" forces the rows kernel, "ftiled_always" ignores the gate.
+    use_ftiled = (env == "ftiled" and ftiled) or env == "ftiled_always"
+    if shapes is not None and use_ftiled:
+        T, Fb, nf = shapes
+        pad = (-M) % T
+        if pad:
+            x2 = jnp.concatenate([x2, jnp.zeros((pad, C), x2.dtype)], axis=0)
+        # regroup the GEGLU weights per f-tile: [C,2F] → [nf, C, 2Fb] with
+        # each tile holding its [a | g] column pair; [F,C] → [nf, Fb, C]
+        w1g = w1.reshape(C, 2, nf, Fb).transpose(2, 0, 1, 3) \
+            .reshape(nf, C, 2 * Fb)
+        # [nf, 1, 2Fb]: Mosaic needs the block's second-minor dim to equal
+        # the array dim (1) — a flat [nf, 2Fb] block (1, 2Fb) is rejected
+        b1g = b1.reshape(2, nf, Fb).transpose(1, 0, 2).reshape(nf, 1, 2 * Fb)
+        w2g = w2.reshape(nf, Fb, C)
+        out = pl.pallas_call(
+            functools.partial(_ffn_kernel_ftiled, eps=eps, nf=nf),
+            grid=((M + pad) // T, nf),
+            in_specs=[
+                pl.BlockSpec((T, C), lambda i, j: (i, 0)),
+                pl.BlockSpec((C,), lambda i, j: (0,)),
+                pl.BlockSpec((C,), lambda i, j: (0,)),
+                pl.BlockSpec((1, C, 2 * Fb), lambda i, j: (j, 0, 0)),
+                pl.BlockSpec((1, 1, 2 * Fb), lambda i, j: (j, 0, 0)),
+                pl.BlockSpec((1, Fb, C), lambda i, j: (j, 0, 0)),
+                pl.BlockSpec((C,), lambda i, j: (0,)),
+            ],
+            out_specs=pl.BlockSpec((T, C), lambda i, j: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((M + pad, C), x2.dtype),
+            scratch_shapes=[pltpu.VMEM((T, C), x2.dtype),
+                            pltpu.VMEM((T, C), jnp.float32)],
+            interpret=_interpret(),
+        )(x2, ln_s.astype(jnp.float32), ln_b.astype(jnp.float32),
+          w1g, b1g.astype(jnp.float32), w2g, b2.astype(jnp.float32))
+        return out[:M]
     T = _ffn_rows_block(C, F)
     pad = (-M) % T
     if pad:
@@ -127,18 +220,19 @@ def ffn_reference(x2, ln_s, ln_b, w1, b1, w2, b2, eps=1e-5):
     return (out + xf).astype(x2.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def ffn_fused(x2, ln_s, ln_b, w1, b1, w2, b2, eps=1e-5):
-    """x2 [M, C] tokens → LN → GEGLU FF → +residual, one HBM round trip."""
-    return _ffn_impl(x2, ln_s, ln_b, w1, b1, w2, b2, eps)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def ffn_fused(x2, ln_s, ln_b, w1, b1, w2, b2, eps=1e-5, ftiled=True):
+    """x2 [M, C] tokens → LN → GEGLU FF → +residual, one HBM round trip.
+    ``ftiled=False`` keeps the rows kernel (training; see _ffn_impl)."""
+    return _ffn_impl(x2, ln_s, ln_b, w1, b1, w2, b2, eps, ftiled)
 
 
-def _ffn_fwd(x2, ln_s, ln_b, w1, b1, w2, b2, eps):
-    return _ffn_impl(x2, ln_s, ln_b, w1, b1, w2, b2, eps), \
+def _ffn_fwd(x2, ln_s, ln_b, w1, b1, w2, b2, eps, ftiled):
+    return _ffn_impl(x2, ln_s, ln_b, w1, b1, w2, b2, eps, ftiled), \
         (x2, ln_s, ln_b, w1, b1, w2, b2)
 
 
-def _ffn_bwd(eps, res, g):
+def _ffn_bwd(eps, ftiled, res, g):
     _, vjp = jax.vjp(lambda *a: ffn_reference(*a, eps=eps), *res)
     return vjp(g)
 

@@ -108,10 +108,17 @@ def unet_forward_flops(cfg: UNetConfig, batch: int,
         for i in range(cfg.num_res_blocks + 1):
             svox, sch, shared = skips.pop()
             if shared and skip_split_supported(ch, sch, cout):
+                from commonscenes_tpu.nn.unet3d import _gn_groups
                 sk = cfg_pair_base / float(batch)
-                f = _conv_flops(vox, ch, cout) \
-                    + _conv_flops(vox, sch, cout) * sk      # conv1 split
-                f += _conv_flops(vox, cout, cout)           # conv2
+                in_ch = ch + sch
+                gsz = in_ch // _gn_groups(in_ch)
+                a_h = ch % gsz
+                # pure-skip channels convolve at K; a seam-straddling
+                # group's skip channels stay at 2K (span case)
+                pure_sk = sch if a_h == 0 else sch - (gsz - a_h)
+                f = _conv_flops(vox, in_ch - pure_sk, cout) \
+                    + _conv_flops(vox, pure_sk, cout) * sk   # conv1 split
+                f += _conv_flops(vox, cout, cout)            # conv2
                 f += _conv_flops(vox, ch, cout, k=1) \
                     + _conv_flops(vox, sch, cout, k=1) * sk  # skip proj split
                 total += f

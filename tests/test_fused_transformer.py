@@ -64,3 +64,26 @@ def test_attn_out_fused_matches_reference():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.fast
+def test_ffn_ftiled_multi_tile_accumulation():
+    """Shapes that force nf > 1 f-tiles (C=64, F=768 → Fb=384, nf=2):
+    the out-projection must accumulate across tiles exactly."""
+    from commonscenes_tpu.ops.fused_transformer import _ffn_ftile_shapes
+    C, F = 64, 768
+    T, Fb, nf = _ffn_ftile_shapes(C, F)
+    assert nf > 1, (T, Fb, nf)
+    rng = np.random.RandomState(1)
+    M = 40
+    x = jnp.asarray(rng.randn(M, C).astype(np.float32))
+    ln_s = jnp.asarray(1.0 + 0.1 * rng.randn(C).astype(np.float32))
+    ln_b = jnp.asarray(0.1 * rng.randn(C).astype(np.float32))
+    w1 = jnp.asarray(rng.randn(C, 2 * F).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(rng.randn(2 * F).astype(np.float32) * 0.05)
+    w2 = jnp.asarray(rng.randn(F, C).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(rng.randn(C).astype(np.float32) * 0.05)
+    out = ffn_fused(x, ln_s, ln_b, w1, b1, w2, b2)
+    ref = ffn_reference(x, ln_s, ln_b, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

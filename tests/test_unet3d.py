@@ -130,21 +130,25 @@ def test_cfg_pair_matches_naive_doubled_batch():
 
 def test_skip_split_support_reference_widths():
     """Group boundaries align for the 16³ decoder blocks (448 = 2×224,
-    group size 14) but span the seam at the level transitions."""
+    group size 14); the level-transition widths straddle one group but
+    still split their pure-skip groups (span case)."""
     from commonscenes_tpu.nn.unet3d import skip_split_supported
-    assert skip_split_supported(224, 224, 224)          # level-0 blocks
-    assert skip_split_supported(448, 448, 448)          # level-1 blocks (28)
-    assert not skip_split_supported(448, 224, 448)      # 672: group 21 spans
-    assert not skip_split_supported(672, 448, 672)      # 1120: group 35 spans
+    assert skip_split_supported(224, 224, 224)          # aligned
+    assert skip_split_supported(448, 448, 448)          # aligned (28/group)
+    assert skip_split_supported(448, 224, 448)          # span: 672, group 21
+    assert skip_split_supported(672, 448, 672)          # span: 1120, group 35
     assert not skip_split_supported(32, 32, 64)         # residual proj absent
+    assert not skip_split_supported(127, 2, 64)         # no pure-skip group
 
 
 def test_flops_accounting_dedup_and_split():
     """The analytic FLOP model: naive 2K > CFG-dedup, and the skip-split
-    contribution equals its closed form at the reference widths. Of the
-    three 16³ decoder blocks, the first concats the 448-ch upsample output
-    (672 in → group 21 spans the seam) — only the LAST TWO (224+224) halve
-    their skip-side conv1 + residual projection."""
+    contribution equals its closed form at the reference widths. Four
+    decoder blocks consume context-free skips: the level-1 third block and
+    the level-0 first block are span cases (672 in, group 21 straddles the
+    seam → 210 of 224 skip channels split out), the last two 16³ blocks
+    (224+224) are aligned. The residual projection splits fully in all
+    four (it needs no statistics)."""
     import commonscenes_tpu.nn.unet3d as u3
     from commonscenes_tpu.core.config import UNetConfig as UC
     from commonscenes_tpu.utils.flops import unet_forward_flops
@@ -162,7 +166,14 @@ def test_flops_accounting_dedup_and_split():
         u3.skip_split_supported = orig
     vox = cfg.image_size ** 3
     mc = cfg.model_channels
-    conv1 = 2.0 * 27 * vox * mc * mc
-    proj = 2.0 * vox * mc * mc
-    expected = 2 * 0.5 * (conv1 + proj) * (2 * K)
+
+    def save(vox, cout, pure_sk, sch):
+        # skip-side conv1 (pure-skip channels) and residual projection
+        # (whole skip) run at K instead of 2K: half their cost
+        return 0.5 * (2.0 * 27 * vox * pure_sk * cout
+                      + 2.0 * vox * sch * cout)
+
+    expected = (save(vox // 4, 2 * mc, 210, mc)      # L1 third (span)
+                + save(vox, mc, 210, mc)             # L0 first (span)
+                + 2 * save(vox, mc, mc, mc)) * (2 * K)  # L0 aligned ×2
     np.testing.assert_allclose(dedup_nosplit - dedup, expected, rtol=1e-9)
