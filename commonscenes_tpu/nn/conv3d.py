@@ -110,6 +110,11 @@ def conv3d(x: jax.Array, kernel: jax.Array,
     COMMONSCENES_CONV_SMALL=2dsum|pallas (H·W < 256;
     ops/pallas_conv3d.py is the tap-accumulate kernel).
     """
+    wino = os.environ.get("COMMONSCENES_CONV_WINO", "0")
+    if wino in ("f2", "f4"):
+        from commonscenes_tpu.ops import winograd as wg
+        if wg.supports(x.shape, kernel.shape, strides, padding, wino):
+            return wg.conv3d_winograd(x, kernel, variant=wino)
     H, W = x.shape[2], x.shape[3]
     if H * W >= 256:
         if os.environ.get("COMMONSCENES_CONV_LARGE", "direct") == "2dsum":

@@ -1,0 +1,127 @@
+"""Winograd 3D conv vs direct conv (reference res-block conv shapes:
+openai_model_3d.py:202-315 — stride-1 SAME 3x3x3)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from commonscenes_tpu.nn.conv3d import conv3d
+from commonscenes_tpu.ops import winograd as wg
+
+
+def _direct(x, k):
+    return jax.lax.conv_general_dilated(
+        x, k, (1, 1, 1), [(1, 1), (1, 1), (1, 1)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+def _rand(shape, rng, scale=1.0):
+    return jnp.asarray(rng.randn(*shape).astype(np.float32) * scale)
+
+
+@pytest.mark.fast
+@pytest.mark.parametrize("variant", ["f2", "f4"])
+@pytest.mark.parametrize("shape", [
+    (2, 4, 4, 4, 5, 7),        # B, D, H, W, Cin, Cout (f2+f4 both tile 4)
+    (1, 8, 4, 8, 3, 6),
+])
+def test_winograd_fp32_matches_direct(variant, shape):
+    B, D, H, W, Ci, Co = shape
+    rng = np.random.RandomState(0)
+    x = _rand((B, D, H, W, Ci), rng)
+    k = _rand((3, 3, 3, Ci, Co), rng, 0.2)
+    assert wg.supports(x.shape, k.shape, (1, 1, 1),
+                       ((1, 1), (1, 1), (1, 1)), variant)
+    out = wg.conv3d_winograd(x, k, variant=variant)
+    ref = _direct(x, k)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.fast
+def test_winograd_support_gates():
+    ok = ((1, 1), (1, 1), (1, 1))
+    assert not wg.supports((1, 6, 6, 6, 4), (3, 3, 3, 4, 4),
+                           (1, 1, 1), ok, "f4")       # 6 % 4 != 0
+    assert wg.supports((1, 6, 6, 6, 4), (3, 3, 3, 4, 4),
+                       (1, 1, 1), ok, "f2")
+    assert not wg.supports((1, 8, 8, 8, 4), (3, 3, 3, 4, 4),
+                           (2, 2, 2), ok, "f2")        # strided
+    assert not wg.supports((1, 8, 8, 8, 4), (1, 1, 1, 4, 4),
+                           (1, 1, 1), ok, "f2")        # 1x1x1
+    assert not wg.supports((1, 8, 8, 8, 4), (3, 3, 3, 4, 4), (1, 1, 1),
+                           ((0, 0), (1, 1), (1, 1)), "f2")  # VALID depth
+    assert not wg.supports((1, 2, 4, 4, 4), (3, 3, 3, 4, 4),
+                           (1, 1, 1), ok, "f4")        # dim < tile
+
+
+@pytest.mark.fast
+@pytest.mark.parametrize("variant", ["f2", "f4"])
+def test_winograd_bf16_error_comparable_to_direct(variant):
+    """bf16 Winograd error vs the fp32 truth must stay within a small
+    multiple of direct bf16 conv's own rounding (the sampling path runs
+    bf16 everywhere)."""
+    rng = np.random.RandomState(1)
+    B, D, H, W, Ci, Co = 2, 8, 4, 4, 64, 48
+    x = _rand((B, D, H, W, Ci), rng)
+    k = _rand((3, 3, 3, Ci, Co), rng, 1.0 / np.sqrt(27 * Ci))
+    truth = np.asarray(_direct(x, k))
+    scale = np.abs(truth).mean()
+
+    xb, kb = x.astype(jnp.bfloat16), k.astype(jnp.bfloat16)
+    err_direct = np.abs(
+        np.asarray(_direct(xb, kb)).astype(np.float32) - truth).mean()
+    err_wino = np.abs(
+        np.asarray(wg.conv3d_winograd(xb, kb, variant=variant))
+        .astype(np.float32) - truth).mean()
+    # f2 measures ~2.2x direct bf16 rounding (deployable); f4 measures
+    # ~21x at the standard points — documented as NOT bf16-deployable
+    # (ops/winograd.py module docstring), pinned here so a regression or
+    # an improvement both surface.
+    limit = 3.0 if variant == "f2" else 30.0
+    assert err_wino < limit * err_direct + 1e-3 * scale, \
+        (err_wino, err_direct, scale)
+    if variant == "f4":
+        assert err_wino > 5.0 * err_direct, \
+            "f4 bf16 improved — consider enabling (update winograd.py docs)"
+
+
+@pytest.mark.fast
+def test_winograd_grad_flows():
+    rng = np.random.RandomState(2)
+    x = _rand((1, 4, 4, 4, 4), rng)
+    k = _rand((3, 3, 3, 4, 4), rng, 0.2)
+
+    def loss_w(xx, kk):
+        return jnp.sum(wg.conv3d_winograd(xx, kk, variant="f2") ** 2)
+
+    def loss_d(xx, kk):
+        return jnp.sum(_direct(xx, kk) ** 2)
+
+    gw = jax.grad(loss_w, argnums=(0, 1))(x, k)
+    gd = jax.grad(loss_d, argnums=(0, 1))(x, k)
+    for a, b in zip(gw, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.fast
+def test_conv3d_dispatch_env_gate(monkeypatch):
+    rng = np.random.RandomState(3)
+    x = _rand((1, 4, 4, 4, 4), rng)
+    k = _rand((3, 3, 3, 4, 4), rng, 0.2)
+    monkeypatch.setenv("COMMONSCENES_CONV_WINO", "f2")
+    out = conv3d(x, k)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_direct(x, k)),
+                               rtol=2e-4, atol=2e-4)
+    # unsupported geometry falls back to direct (odd spatial dim)
+    x5 = _rand((1, 5, 5, 5, 4), rng)
+    out5 = conv3d(x5, k, (1, 1, 1), ((1, 1), (1, 1), (1, 1)))
+    np.testing.assert_allclose(
+        np.asarray(out5),
+        np.asarray(jax.lax.conv_general_dilated(
+            x5, k, (1, 1, 1), [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))),
+        rtol=1e-5, atol=1e-5)
