@@ -229,6 +229,10 @@ def main():
                                      if train_scenes_per_sec else None),
             "device": str(jax.devices()[0]),
             "iters": iters,
+            # conv lowering provenance; with Winograd engaged the
+            # achieved/MFU figures are algorithmic-equivalent (direct-conv
+            # MACs), the standard effective-FLOPS convention
+            "conv_wino": os.environ.get("COMMONSCENES_CONV_WINO", "0"),
         },
     }))
 

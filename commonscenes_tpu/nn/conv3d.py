@@ -111,6 +111,11 @@ def conv3d(x: jax.Array, kernel: jax.Array,
     ops/pallas_conv3d.py is the tap-accumulate kernel).
     """
     wino = os.environ.get("COMMONSCENES_CONV_WINO", "0")
+    if wino == "pallas":
+        from commonscenes_tpu.ops import pallas_winograd as pw
+        if pw.supports(x.shape, kernel.shape, strides, padding):
+            return pw.conv3d_winograd_fused(x, kernel)
+        wino = "f2"     # geometry the fused kernel can't plan → XLA f2
     if wino in ("f2", "f4"):
         from commonscenes_tpu.ops import winograd as wg
         if wg.supports(x.shape, kernel.shape, strides, padding, wino):

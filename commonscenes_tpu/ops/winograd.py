@@ -147,7 +147,12 @@ def conv3d_winograd(x: jax.Array, kernel: jax.Array,
     R = B * nD * nH * nW
 
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
-    xp = xp.astype(jnp.float32)
+    # input-transform stage buffers: fp32 by default; bf16 halves the
+    # chain's HBM traffic for 2.79x -> 3.40x direct-conv rounding (f2,
+    # measured) — A/B end-to-end via COMMONSCENES_WINO_DTYPE=bf16
+    import os
+    if os.environ.get("COMMONSCENES_WINO_DTYPE", "fp32") != "bf16":
+        xp = xp.astype(jnp.float32)
 
     # Input transform, one spatial axis at a time. Each stage maps a list
     # of arrays to an a-times-longer list of element-wise combinations of

@@ -59,7 +59,12 @@ def test_winograd_support_gates():
 
 @pytest.mark.fast
 @pytest.mark.parametrize("variant", ["f2", "f4"])
-def test_winograd_bf16_error_comparable_to_direct(variant):
+def test_winograd_bf16_error_comparable_to_direct(variant, monkeypatch):
+    # pin the default fp32 stage buffers: the ratios below are measured
+    # for that configuration (COMMONSCENES_WINO_DTYPE=bf16 trades ~0.6x
+    # more f2 error for half the transform traffic, and pushes f4 — which
+    # is non-deployable either way — past its ceiling)
+    monkeypatch.setenv("COMMONSCENES_WINO_DTYPE", "fp32")
     """bf16 Winograd error vs the fp32 truth must stay within a small
     multiple of direct bf16 conv's own rounding (the sampling path runs
     bf16 everywhere)."""
