@@ -66,7 +66,7 @@ def _plan(B: int, D: int, H: int, W: int, Cin: int, Cout: int,
             if nD % T_cd:
                 continue
             rows = b_blk * T_cd * nH * nW
-            if rows > 512:
+            if rows > 1024:
                 continue
             for co in (Cout, Cout // 2, Cout // 3, Cout // 4, Cout // 6,
                        Cout // 7):
@@ -78,10 +78,35 @@ def _plan(B: int, D: int, H: int, W: int, Cin: int, Cout: int,
                 out_b = 2 * rows * 8 * co * 2
                 if w_b + cells + y_b + out_b > budget:
                     continue
-                # prefer more rows (up to 256), then wider Co blocks
-                score = (min(rows, 256), co)
+                # a full MXU row block (128) first, then Co width (wider
+                # than 256 stops paying), then extra rows
+                score = (min(rows, 128), min(co, 256), min(rows, 512))
                 if best is None or score > best[0]:
                     best = (score, (b_blk, T_cd, co))
+    return None if best is None else best[1]
+
+
+def _plan_split(B: int, D: int, H: int, W: int, Cin: int, Cout: int):
+    """(nsplit, (b_blk, T_cd, co_blk)) — wide-Cin convs (the 672-channel
+    decoder blocks) fit VMEM poorly as one contraction; splitting Cin into
+    nsplit kernel invocations (summed in fp32 outside) frees VMEM for a
+    full row block and a wider Cout block."""
+    best = None
+    for nsplit in (1, 2, 3, 4):
+        if Cin % nsplit or (nsplit > 1 and Cin // nsplit < 32):
+            continue
+        p = _plan(B, D, H, W, Cin // nsplit, Cout)
+        if p is None:
+            continue
+        b_blk, T_cd, co = p
+        rows = b_blk * T_cd * (H // 2) * (W // 2)
+        # full row block first; a Cout block under 112 lanes wastes the
+        # MXU harder than a split's extra cells/y traffic, so tier on
+        # that, then FEWEST splits, then Co width
+        score = (min(rows, 128), 1 if co >= 112 else 0, -nsplit,
+                 min(co, 256))
+        if best is None or score > best[0]:
+            best = (score, (nsplit, p))
     return None if best is None else best[1]
 
 
@@ -91,9 +116,11 @@ def supports(x_shape, kernel_shape, strides, padding) -> bool:
     if tuple(map(tuple, padding)) != ((1, 1), (1, 1), (1, 1)):
         return False
     B, D, H, W, Cin = x_shape
+    if Cin < 32 or kernel_shape[4] < 32:    # see winograd.supports
+        return False
     if any(d % 2 or d < 2 for d in (D, H, W)):
         return False
-    return _plan(B, D, H, W, Cin, kernel_shape[4]) is not None
+    return _plan_split(B, D, H, W, Cin, kernel_shape[4]) is not None
 
 
 def _wino_kernel(ca_ref, cb_ref, w_ref, o_ref, *, b_blk: int, T_cd: int,
@@ -163,12 +190,29 @@ def _wino_kernel(ca_ref, cb_ref, w_ref, o_ref, *, b_blk: int, T_cd: int,
 
 
 def _fused_impl(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    B, D, H, W, Cin = x.shape
+    Cout = kernel.shape[-1]
+    nsplit, plan = _plan_split(B, D, H, W, Cin, Cout)
+    if nsplit == 1:
+        return _fused_one(x, kernel, plan)
+    c = Cin // nsplit
+    acc = None
+    for i in range(nsplit):
+        y = _fused_one(x[..., i * c:(i + 1) * c],
+                       kernel[:, :, :, i * c:(i + 1) * c, :], plan)
+        y = y.astype(jnp.float32)
+        acc = y if acc is None else acc + y
+    return acc.astype(x.dtype)
+
+
+def _fused_one(x: jax.Array, kernel: jax.Array,
+               plan: Tuple[int, int, int]) -> jax.Array:
     from commonscenes_tpu.ops.winograd import transform_kernel
 
     B, D, H, W, Cin = x.shape
     Cout = kernel.shape[-1]
     nD, nH, nW = D // 2, H // 2, W // 2
-    b_blk, T_cd, co_blk = _plan(B, D, H, W, Cin, Cout)
+    b_blk, T_cd, co_blk = plan
 
     Bp = -(-B // b_blk) * b_blk
     xp = jnp.pad(x, ((0, Bp - B), (1, 1), (1, 1), (1, 1), (0, 0)))

@@ -67,6 +67,10 @@ def supports(x_shape: Tuple[int, ...], kernel_shape: Tuple[int, ...],
         return False
     if tuple(map(tuple, padding)) != ((1, 1), (1, 1), (1, 1)):
         return False
+    # tiny channel counts (UNet conv_in/conv_out, z_channels=3): transform
+    # traffic dominates the trivial matmul — direct conv wins there
+    if x_shape[4] < 32 or kernel_shape[4] < 32:
+        return False
     m = _PARAMS[variant]["m"]
     return all(d % m == 0 and d >= m for d in x_shape[1:4])
 

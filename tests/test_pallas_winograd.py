@@ -32,8 +32,6 @@ def test_fused_winograd_matches_direct(shape):
     rng = np.random.RandomState(0)
     x = _rand((B, D, H, W, Ci), rng)
     k = _rand((3, 3, 3, Ci, Co), rng, 0.2)
-    assert pw.supports(x.shape, k.shape, (1, 1, 1),
-                       ((1, 1), (1, 1), (1, 1)))
     out = pw.conv3d_winograd_fused(x, k)
     np.testing.assert_allclose(np.asarray(out), np.asarray(_direct(x, k)),
                                rtol=2e-4, atol=2e-4)
@@ -56,9 +54,16 @@ def test_fused_winograd_grad_is_reference_vjp():
 @pytest.mark.fast
 def test_fused_winograd_support_gates():
     ok = ((1, 1), (1, 1), (1, 1))
-    assert not pw.supports((1, 5, 4, 4, 4), (3, 3, 3, 4, 4), (1, 1, 1), ok)
-    assert not pw.supports((1, 4, 4, 4, 4), (3, 3, 3, 4, 4), (2, 2, 2), ok)
-    assert not pw.supports((1, 4, 4, 4, 4), (1, 1, 1, 4, 4), (1, 1, 1), ok)
+    k32 = (3, 3, 3, 32, 32)
+    assert pw.supports((1, 4, 4, 4, 32), k32, (1, 1, 1), ok)
+    assert not pw.supports((1, 5, 4, 4, 32), k32, (1, 1, 1), ok)
+    assert not pw.supports((1, 4, 4, 4, 32), k32, (2, 2, 2), ok)
+    assert not pw.supports((1, 4, 4, 4, 32), (1, 1, 1, 32, 32),
+                           (1, 1, 1), ok)
+    assert not pw.supports((1, 4, 4, 4, 3), (3, 3, 3, 3, 32),
+                           (1, 1, 1), ok)       # tiny Cin
+    assert not pw.supports((1, 4, 4, 4, 32), (3, 3, 3, 32, 3),
+                           (1, 1, 1), ok)       # tiny Cout
 
 
 def test_fused_winograd_bf16():
@@ -82,14 +87,14 @@ def test_fused_winograd_bf16():
 def test_conv3d_dispatch_pallas_gate(monkeypatch):
     from commonscenes_tpu.nn.conv3d import conv3d
     rng = np.random.RandomState(3)
-    x = _rand((1, 4, 4, 4, 4), rng)
-    k = _rand((3, 3, 3, 4, 4), rng, 0.2)
+    x = _rand((1, 4, 4, 4, 32), rng)
+    k = _rand((3, 3, 3, 32, 32), rng, 0.1)
     monkeypatch.setenv("COMMONSCENES_CONV_WINO", "pallas")
     np.testing.assert_allclose(np.asarray(conv3d(x, k)),
                                np.asarray(_direct(x, k)),
                                rtol=2e-4, atol=2e-4)
     # unsupported geometry falls through to the XLA f2 path, then direct
-    x5 = _rand((1, 5, 5, 5, 4), rng)
+    x5 = _rand((1, 5, 5, 5, 32), rng)
     np.testing.assert_allclose(
         np.asarray(conv3d(x5, k, (1, 1, 1), ((1, 1), (1, 1), (1, 1)))),
         np.asarray(_direct(x5, k)), rtol=1e-5, atol=1e-5)

@@ -32,8 +32,6 @@ def test_winograd_fp32_matches_direct(variant, shape):
     rng = np.random.RandomState(0)
     x = _rand((B, D, H, W, Ci), rng)
     k = _rand((3, 3, 3, Ci, Co), rng, 0.2)
-    assert wg.supports(x.shape, k.shape, (1, 1, 1),
-                       ((1, 1), (1, 1), (1, 1)), variant)
     out = wg.conv3d_winograd(x, k, variant=variant)
     ref = _direct(x, k)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
@@ -43,18 +41,22 @@ def test_winograd_fp32_matches_direct(variant, shape):
 @pytest.mark.fast
 def test_winograd_support_gates():
     ok = ((1, 1), (1, 1), (1, 1))
-    assert not wg.supports((1, 6, 6, 6, 4), (3, 3, 3, 4, 4),
+    k32 = (3, 3, 3, 32, 32)
+    assert not wg.supports((1, 6, 6, 6, 32), k32,
                            (1, 1, 1), ok, "f4")       # 6 % 4 != 0
-    assert wg.supports((1, 6, 6, 6, 4), (3, 3, 3, 4, 4),
-                       (1, 1, 1), ok, "f2")
-    assert not wg.supports((1, 8, 8, 8, 4), (3, 3, 3, 4, 4),
+    assert wg.supports((1, 6, 6, 6, 32), k32, (1, 1, 1), ok, "f2")
+    assert not wg.supports((1, 8, 8, 8, 32), k32,
                            (2, 2, 2), ok, "f2")        # strided
-    assert not wg.supports((1, 8, 8, 8, 4), (1, 1, 1, 4, 4),
+    assert not wg.supports((1, 8, 8, 8, 32), (1, 1, 1, 32, 32),
                            (1, 1, 1), ok, "f2")        # 1x1x1
-    assert not wg.supports((1, 8, 8, 8, 4), (3, 3, 3, 4, 4), (1, 1, 1),
+    assert not wg.supports((1, 8, 8, 8, 32), k32, (1, 1, 1),
                            ((0, 0), (1, 1), (1, 1)), "f2")  # VALID depth
-    assert not wg.supports((1, 2, 4, 4, 4), (3, 3, 3, 4, 4),
+    assert not wg.supports((1, 2, 4, 4, 32), k32,
                            (1, 1, 1), ok, "f4")        # dim < tile
+    assert not wg.supports((1, 8, 8, 8, 3), (3, 3, 3, 3, 32),
+                           (1, 1, 1), ok, "f2")        # tiny Cin (conv_in)
+    assert not wg.supports((1, 8, 8, 8, 32), (3, 3, 3, 32, 3),
+                           (1, 1, 1), ok, "f2")        # tiny Cout (conv_out)
 
 
 @pytest.mark.fast
@@ -115,14 +117,14 @@ def test_winograd_grad_flows():
 @pytest.mark.fast
 def test_conv3d_dispatch_env_gate(monkeypatch):
     rng = np.random.RandomState(3)
-    x = _rand((1, 4, 4, 4, 4), rng)
-    k = _rand((3, 3, 3, 4, 4), rng, 0.2)
+    x = _rand((1, 4, 4, 4, 32), rng)
+    k = _rand((3, 3, 3, 32, 32), rng, 0.1)
     monkeypatch.setenv("COMMONSCENES_CONV_WINO", "f2")
     out = conv3d(x, k)
     np.testing.assert_allclose(np.asarray(out), np.asarray(_direct(x, k)),
                                rtol=2e-4, atol=2e-4)
     # unsupported geometry falls back to direct (odd spatial dim)
-    x5 = _rand((1, 5, 5, 5, 4), rng)
+    x5 = _rand((1, 5, 5, 5, 32), rng)
     out5 = conv3d(x5, k, (1, 1, 1), ((1, 1), (1, 1), (1, 1)))
     np.testing.assert_allclose(
         np.asarray(out5),
