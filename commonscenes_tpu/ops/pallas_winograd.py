@@ -30,14 +30,11 @@ accumulation). Training takes the reference VJP (custom_vjp below).
 from __future__ import annotations
 
 import functools
-import math
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def _interpret() -> bool:
