@@ -84,6 +84,29 @@ def test_fused_winograd_bf16():
 
 
 @pytest.mark.fast
+def test_planner_real_geometries():
+    """Every UNet stage shape must get a full 128-row matmul block and a
+    >=112-lane Cout block (narrower wastes the MXU); wide-Cin decoder
+    convs reach that via Cin splits."""
+    cases = {
+        (18, 16, 16, 16, 224, 224): None,   # L0
+        (18, 16, 16, 16, 448, 224): None,   # L0 skip-concat
+        (18, 16, 8, 8, 448, 448): None,     # L1
+        (18, 16, 4, 4, 672, 672): None,     # L2
+        (18, 16, 8, 8, 672, 448): None,     # L1 upsample-in
+        (8, 64, 64, 64, 128, 128): None,    # VQ-VAE decode
+    }
+    for (B, D, H, W, Ci, Co) in cases:
+        r = pw._plan_split(B, D, H, W, Ci, Co)
+        assert r is not None, (B, D, H, W, Ci, Co)
+        nsplit, (b_blk, T_cd, co) = r
+        rows = b_blk * T_cd * (H // 2) * (W // 2)
+        assert rows >= 128, (rows, (B, D, H, W, Ci, Co))
+        assert co >= 112, (co, (B, D, H, W, Ci, Co))
+        assert Ci % nsplit == 0
+
+
+@pytest.mark.fast
 def test_conv3d_dispatch_pallas_gate(monkeypatch):
     from commonscenes_tpu.nn.conv3d import conv3d
     rng = np.random.RandomState(3)
