@@ -1,0 +1,186 @@
+"""A/B matrix driver for bench.py env knobs.
+
+Runs each knob configuration through ``python bench.py`` (sampling-only by
+default: BENCH_EVAL_SCENES=0 BENCH_TRAIN=0) as a SEPARATE sequential
+subprocess — the tunneled TPU deadlocks if two processes touch it at once —
+and appends one JSON line per run to ``/tmp/bench_ab_results.jsonl``.
+
+Resume-safe: a config whose (git_head, knobs) already appears in the
+results file is skipped, so the script can be re-run after a tunnel drop
+and it picks up where it stopped. A cheap 60 s liveness probe runs first
+so a wedged tunnel fails fast instead of eating a 30-min timeout.
+
+Usage:
+    python bench_ab.py                 # full matrix
+    python bench_ab.py --only default winograd_f2
+    python bench_ab.py --list
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+RESULTS = os.environ.get("BENCH_AB_RESULTS", "/tmp/bench_ab_results.jsonl")
+
+# Each entry: name -> extra env. Baseline bench env is shared.
+MATRIX = {
+    "default": {},
+    "winograd_f2": {"COMMONSCENES_CONV_WINO": "f2"},
+    "winograd_f2_bf16": {"COMMONSCENES_CONV_WINO": "f2",
+                         "COMMONSCENES_WINO_DTYPE": "bf16"},
+    "winograd_pallas": {"COMMONSCENES_CONV_WINO": "pallas"},
+    "winograd_pallas_gn0": {"COMMONSCENES_CONV_WINO": "pallas",
+                            "COMMONSCENES_FUSED_GN": "0"},
+    "winograd_f2_gn0": {"COMMONSCENES_CONV_WINO": "f2",
+                        "COMMONSCENES_FUSED_GN": "0"},
+    "ffn_rows": {"COMMONSCENES_FFN_KERNEL": "rows"},
+    "skip_split_off": {"COMMONSCENES_SKIP_SPLIT": "0"},
+}
+
+BASE_ENV = {
+    "BENCH_ITERS": os.environ.get("BENCH_ITERS", "3"),
+    "BENCH_EVAL_SCENES": os.environ.get("BENCH_EVAL_SCENES", "0"),
+    "BENCH_TRAIN": os.environ.get("BENCH_TRAIN", "0"),
+}
+
+PROBE = (
+    "import jax, jax.numpy as jnp;"
+    "x = jnp.ones((256, 256), jnp.bfloat16);"
+    "print('probe ok', float((x @ x).sum()))"
+)
+
+
+def git_head() -> str:
+    try:
+        return subprocess.check_output(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=ROOT,
+            text=True).strip()
+    except Exception:
+        return "unknown"
+
+
+def load_done() -> set:
+    done = set()
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if rec.get("value") is not None:
+                    done.add((rec.get("head"), rec.get("name")))
+    return done
+
+
+def tpu_alive(timeout: int = 90) -> bool:
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", PROBE], cwd=ROOT, timeout=timeout,
+            capture_output=True, text=True)
+        return out.returncode == 0 and "probe ok" in out.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def run_one(name: str, knobs: dict, timeout: int) -> dict:
+    env = dict(os.environ)
+    env.update(BASE_ENV)
+    env.update(knobs)
+    t0 = time.time()
+    rec = {"name": name, "knobs": knobs, "head": git_head(),
+           "ts": time.strftime("%Y-%m-%dT%H:%M:%S")}
+    try:
+        out = subprocess.run(
+            [sys.executable, "bench.py"], cwd=ROOT, env=env,
+            timeout=timeout, capture_output=True, text=True)
+        rec["rc"] = out.returncode
+        for line in out.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{") and '"metric"' in line:
+                parsed = json.loads(line)
+                rec["value"] = parsed.get("value")
+                rec["extra"] = parsed.get("extra", {})
+                break
+        else:
+            rec["value"] = None
+            rec["tail"] = (out.stdout + out.stderr)[-2000:]
+    except subprocess.TimeoutExpired:
+        rec["rc"] = -1
+        rec["value"] = None
+        rec["tail"] = "TIMEOUT"
+    rec["wall_s"] = round(time.time() - t0, 1)
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument("--list", action="store_true")
+    ap.add_argument("--timeout", type=int, default=2400,
+                    help="per-run timeout, seconds (cold compile ~8-20 min)")
+    ap.add_argument("--force", action="store_true",
+                    help="re-run configs already in the results file")
+    ap.add_argument("--wait", action="store_true",
+                    help="poll the TPU every 5 min until alive, then run")
+    args = ap.parse_args()
+
+    if args.list:
+        for k, v in MATRIX.items():
+            print(f"{k:24s} {v}")
+        return
+
+    names = args.only or list(MATRIX)
+    unknown = [n for n in names if n not in MATRIX]
+    if unknown:
+        sys.exit(f"unknown configs: {unknown}; see --list")
+
+    if args.wait:
+        while not tpu_alive():
+            print(time.strftime("%H:%M:%S"), "tunnel down, retry in 5 min",
+                  flush=True)
+            time.sleep(300)
+    elif not tpu_alive():
+        sys.exit("TPU probe failed/hung — tunnel down, not starting matrix")
+    print("TPU alive; running", names, flush=True)
+
+    head = git_head()
+    done = set() if args.force else load_done()
+    for name in names:
+        if (head, name) in done:
+            print(f"[skip] {name} already measured at {head}", flush=True)
+            continue
+        print(f"[run ] {name} {MATRIX[name]}", flush=True)
+        rec = run_one(name, MATRIX[name], args.timeout)
+        with open(RESULTS, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(f"[done] {name}: value={rec.get('value')} "
+              f"wall={rec['wall_s']}s", flush=True)
+        if rec.get("value") is None and rec.get("tail") == "TIMEOUT":
+            print("run timed out — tunnel likely wedged; stopping", flush=True)
+            break
+
+    # summary table
+    print("\n=== results at", head, "===")
+    if os.path.exists(RESULTS):
+        best = {}
+        with open(RESULTS) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if rec.get("head") == head and rec.get("value") is not None:
+                    best[rec["name"]] = rec["value"]
+        for name, val in sorted(best.items(), key=lambda kv: -kv[1]):
+            print(f"{name:24s} {val:.4f} scenes/s")
+
+
+if __name__ == "__main__":
+    main()

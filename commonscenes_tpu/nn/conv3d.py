@@ -12,12 +12,32 @@ are interchangeable.
 
 from __future__ import annotations
 
+import contextlib
 import os
 from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+# Trace-time flag: True while an inference-only program (sampling) is being
+# traced. UNet3D.__call__ sets it from its static ``inference`` argument.
+# Lets COMMONSCENES_CONV_WINO_SCOPE=inference deploy a Winograd lowering on
+# the sampling path only — the forward-only Mosaic program is a different
+# compile than fwd+bwd (the f-tiled FFN kernel crashed the latter; same
+# insurance here).
+_INFERENCE_TRACE = False
+
+
+@contextlib.contextmanager
+def inference_trace(on: bool):
+    global _INFERENCE_TRACE
+    prev = _INFERENCE_TRACE
+    _INFERENCE_TRACE = bool(on)
+    try:
+        yield
+    finally:
+        _INFERENCE_TRACE = prev
 
 
 def conv3d_2dsum(x: jax.Array, kernel: jax.Array,
@@ -111,6 +131,14 @@ def conv3d(x: jax.Array, kernel: jax.Array,
     ops/pallas_conv3d.py is the tap-accumulate kernel).
     """
     wino = os.environ.get("COMMONSCENES_CONV_WINO", "0")
+    if wino != "0" and not _INFERENCE_TRACE and \
+            os.environ.get("COMMONSCENES_CONV_WINO_SCOPE", "all") == "inference":
+        wino = "0"
+    if wino != "0" and x.shape[2] * x.shape[3] < int(
+            os.environ.get("COMMONSCENES_WINO_MIN_HW", "0")):
+        # stage-size gate, like the attention MIN_N knobs: lets an A/B mix
+        # Winograd at the big stages with direct conv at the tiny 4x4 ones
+        wino = "0"
     if wino == "pallas":
         from commonscenes_tpu.ops import pallas_winograd as pw
         if pw.supports(x.shape, kernel.shape, strides, padding):

@@ -30,7 +30,7 @@ from flax import linen as nn
 
 from commonscenes_tpu.core.config import UNetConfig
 from commonscenes_tpu.nn.attention import GroupNorm, SpatialTransformer3D, group_norm
-from commonscenes_tpu.nn.conv3d import Conv3D, conv3d
+from commonscenes_tpu.nn.conv3d import Conv3D, conv3d, inference_trace
 
 
 def _gn_groups(C: int, num_groups: int = 32) -> int:
@@ -313,6 +313,17 @@ class UNet3D(nn.Module):
                  deterministic: bool = True,
                  cfg_pair: bool = False,
                  inference: bool = False) -> jax.Array:
+        # conv3d's trace-time dispatch can gate Winograd to inference-only
+        # programs (COMMONSCENES_CONV_WINO_SCOPE=inference)
+        with inference_trace(inference):
+            return self._forward(x, timesteps, context, deterministic,
+                                 cfg_pair, inference)
+
+    def _forward(self, x: jax.Array, timesteps: jax.Array,
+                 context: Optional[jax.Array],
+                 deterministic: bool,
+                 cfg_pair: bool,
+                 inference: bool) -> jax.Array:
         cfg = self.cfg
         mc = cfg.model_channels
         time_dim = mc * 4

@@ -132,3 +132,64 @@ def test_conv3d_dispatch_env_gate(monkeypatch):
             x5, k, (1, 1, 1), [(1, 1)] * 3,
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))),
         rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.fast
+def test_wino_inference_scope_gate(monkeypatch):
+    """COMMONSCENES_CONV_WINO_SCOPE=inference enables Winograd only inside
+    an inference_trace(True) region (UNet3D sets it when inference=True)."""
+    from commonscenes_tpu.nn import conv3d as c3
+    from commonscenes_tpu.ops import winograd as wg
+
+    calls = []
+    real = wg.conv3d_winograd
+
+    def spy(x, k, variant="f2"):
+        calls.append(variant)
+        return real(x, k, variant=variant)
+
+    monkeypatch.setattr(wg, "conv3d_winograd", spy)
+    monkeypatch.setenv("COMMONSCENES_CONV_WINO", "f2")
+    monkeypatch.setenv("COMMONSCENES_CONV_WINO_SCOPE", "inference")
+
+    rng = np.random.RandomState(5)
+    x = _rand((1, 4, 4, 4, 32), rng)
+    k = _rand((3, 3, 3, 32, 32), rng, 0.1)
+
+    conv3d(x, k)                       # training-style trace: gated OFF
+    assert calls == []
+    with c3.inference_trace(True):
+        out = conv3d(x, k)             # sampling trace: Winograd ON
+    assert calls == ["f2"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_direct(x, k)),
+                               rtol=2e-4, atol=2e-4)
+    # flag restored after the with-block
+    conv3d(x, k)
+    assert calls == ["f2"]
+    # scope=all (default) ignores the trace flag
+    monkeypatch.setenv("COMMONSCENES_CONV_WINO_SCOPE", "all")
+    conv3d(x, k)
+    assert calls == ["f2", "f2"]
+
+
+@pytest.mark.fast
+def test_wino_min_hw_gate(monkeypatch):
+    from commonscenes_tpu.ops import winograd as wg
+
+    calls = []
+    real = wg.conv3d_winograd
+
+    def spy(x, k, variant="f2"):
+        calls.append(x.shape[2] * x.shape[3])
+        return real(x, k, variant=variant)
+
+    monkeypatch.setattr(wg, "conv3d_winograd", spy)
+    monkeypatch.setenv("COMMONSCENES_CONV_WINO", "f2")
+    monkeypatch.setenv("COMMONSCENES_WINO_MIN_HW", "17")
+
+    rng = np.random.RandomState(7)
+    k = _rand((3, 3, 3, 32, 32), rng, 0.1)
+    conv3d(_rand((1, 4, 4, 4, 32), rng), k)      # H*W = 16 < 17: direct
+    assert calls == []
+    conv3d(_rand((1, 4, 8, 8, 32), rng), k)      # H*W = 64: Winograd
+    assert calls == [64]
