@@ -120,6 +120,9 @@ def main():
     flops_exec = sample_flops(
         cfg.unet, cfg.vqvae, num_objs=int(slots.shape[0]),
         ddim_steps=cfg.diffusion.ddim_steps, cfg_dedup=dedup,
+        # the M==1 cross-attention shortcut executes on the crossattn path
+        # (one relation token per shape) — count what actually ran
+        m1_cross=dedup,
         upsample_parity=os.environ.get("COMMONSCENES_UPSAMPLE",
                                        "parity") != "naive")
 

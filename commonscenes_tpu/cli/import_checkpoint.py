@@ -273,10 +273,6 @@ def main(argv=None):
     return epoch
 
 
-if __name__ == "__main__":
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
-    main()
-
 
 def _import_v1full(args, merged):
     """Migrate a reference v1_full (Graph-to-3D) whole-module .pth
@@ -409,3 +405,8 @@ def _import_v1full(args, merged):
                    "imported_from": os.path.abspath(args.pth)}, f, indent=2)
     print(f"[*] wrote {ckpt_dir}/model_{epoch} (v1_full)")
     return epoch
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+    main()

@@ -197,7 +197,8 @@ def main(argv=None):
         no code (and the whole batch when the tree is absent)."""
         from commonscenes_tpu.models.v1_full import pseudo_shape_codes
         objs = np.asarray(batch.dec.objs)
-        codes = pseudo_shape_codes(objs).reshape(
+        codes = pseudo_shape_codes(
+            objs, dim=cfg.layout.shape_input_dim).reshape(
             objs.shape[0], objs.shape[1], -1)
         if gt_codes and scenes is not None:
             for b, scene in enumerate(scenes):
@@ -208,7 +209,8 @@ def main(argv=None):
                         scene.instance_ids[:objs.shape[1]]):
                     c = gt_codes.get(mids.get(int(inst), ""))
                     if c is not None:
-                        codes[b, j, :c.shape[0]] = c
+                        w = min(c.shape[0], codes.shape[-1])
+                        codes[b, j, :w] = c[:w]
         return jnp.asarray(codes.reshape(-1, codes.shape[-1]))
 
     rng = np.random.RandomState(args.seed)

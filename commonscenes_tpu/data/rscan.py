@@ -252,7 +252,11 @@ class RScanDataset:
             if self.use_canonical and "direction" in entry:
                 p7 = apply_canonical_direction(p7, int(entry["direction"]))
             raw_p7s.append(p7)
-            angles.append(int(np.digitize(p7[6], ANGLE_BINS_24)))
+            # reference digitizes raw (dataset/dataset.py:546) and its train
+            # script clamps to [0,24); fold the clamp in here like
+            # data/sgfront.py does, since RawScene feeds the model directly
+            angles.append(int(np.clip(
+                np.digitize(p7[6], ANGLE_BINS_24) - 1, 0, 23)))
             boxes.append(normalize_box_params_legacy(p7)[:6]
                          if self.normalize_boxes else p7[:6])
 

@@ -17,6 +17,18 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def gn_group_count(C: int, num_groups: int = 32) -> int:
+    """Group count group_norm actually uses for width C. The reference
+    always uses 32 groups (GroupNorm32, ldm_diffusion_util.py:222-239) and
+    errors on non-divisible widths; for non-reference widths fall back
+    deterministically to the largest divisor of C ≤ num_groups. The
+    skip-split seam math in nn/unet3d.py derives group boundaries from this
+    same function — keep them in lockstep."""
+    if C % num_groups == 0:
+        return num_groups
+    return next(d for d in range(min(num_groups, C), 0, -1) if C % d == 0)
+
+
 def group_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
                num_groups: int = 32, eps: float = 1e-6,
                silu: bool = False) -> jax.Array:
@@ -27,13 +39,7 @@ def group_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
     of the UNet step); elsewhere it runs the jnp reference path.
     """
     C = x.shape[-1]
-    # The reference always uses 32 groups (GroupNorm32, ldm_diffusion_util.py
-    # :222-239) and errors on non-divisible widths. For non-reference widths
-    # fall back deterministically to the largest divisor of C ≤ num_groups.
-    if C % num_groups == 0:
-        g = num_groups
-    else:
-        g = next(d for d in range(min(num_groups, C), 0, -1) if C % d == 0)
+    g = gn_group_count(C, num_groups)
 
     from commonscenes_tpu.ops import groupnorm as gnk
     if x.ndim >= 3 and gnk.on_tpu() and gnk.fused_supported(x.shape, g):

@@ -29,16 +29,14 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from commonscenes_tpu.core.config import UNetConfig
-from commonscenes_tpu.nn.attention import GroupNorm, SpatialTransformer3D, group_norm
+from commonscenes_tpu.nn.attention import (GroupNorm, SpatialTransformer3D,
+                                           gn_group_count, group_norm)
 from commonscenes_tpu.nn.conv3d import Conv3D, conv3d, inference_trace
 
 
-def _gn_groups(C: int, num_groups: int = 32) -> int:
-    """Group count the GroupNorm layer will actually use for width C
-    (mirrors nn/attention.group_norm's divisor fallback)."""
-    if C % num_groups == 0:
-        return num_groups
-    return next(d for d in range(min(num_groups, C), 0, -1) if C % d == 0)
+# the skip-split seam math must agree with group_norm's real grouping,
+# so the group count comes from the same function
+_gn_groups = gn_group_count
 
 
 def skip_split_supported(h_ch: int, skip_ch: int, out_ch: int) -> bool:
@@ -58,7 +56,9 @@ def skip_split_supported(h_ch: int, skip_ch: int, out_ch: int) -> bool:
     a_h = h_ch % gsz
     if a_h == 0:
         return True
-    return skip_ch - (gsz - a_h) >= gsz
+    # span case needs at least one pure-h group (ResBlock3D normalizes
+    # x[..., :h_ch - a_h] separately) and one pure-skip group
+    return h_ch - a_h >= gsz and skip_ch - (gsz - a_h) >= gsz
 
 
 def timestep_embedding(timesteps: jax.Array, dim: int,

@@ -396,15 +396,19 @@ attn_out_fused.defvjp(_ao_fwd, _ao_bwd)
 
 def attn_out_supported(B: int, H: int, N: int, Dp: int, C: int) -> bool:
     """Whole-sample residency: q/k/v + the q-tiled score/prob block +
-    accumulators (the kernel tiles q so score+prob ≤ 2 MB, _q_tile)."""
-    tq = _q_tile(N)
+    accumulators. Sized for the kernel variant that will actually dispatch
+    (COMMONSCENES_ATTN_KERNEL): the batched kernel's score/prob are
+    [H, Tq, N] fp32 — H× the head-loop kernel's — and its q tile has a
+    64-row floor, so the two variants reject different shapes."""
+    import os
+    if os.environ.get("COMMONSCENES_ATTN_KERNEL", "batched") == "batched":
+        tq = _q_tile_batched(N, H)
+        score = 2 * H * tq * N * 4
+    else:
+        tq = _q_tile(N)
+        score = 2 * tq * N * 4
     qkv = 3 * H * N * Dp * 2
-    score = 2 * tq * N * 4
     accs = 2 * N * C * 4 + N * C * 2
     w = H * Dp * C * 2
     return (N % 8 == 0 and N % tq == 0
             and qkv + score + accs + w < 13 * 1024 * 1024)
-
-
-def ffn_supported(C: int, F: int) -> bool:
-    return C % 128 == 0 or True  # row block shrinks to fit; C is lane dim

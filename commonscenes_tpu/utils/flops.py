@@ -19,7 +19,8 @@ def _conv_flops(vox: int, cin: int, cout: int, k: int = 27) -> float:
 
 def unet_forward_flops(cfg: UNetConfig, batch: int,
                        cfg_pair_base: int = 0,
-                       upsample_parity: bool = False) -> float:
+                       upsample_parity: bool = False,
+                       m1_cross: bool = False) -> float:
     """One denoiser forward at [batch, S, S, S, in_channels] where S =
     cfg.image_size; H/W halve per level, depth stays (reference
     openai_model_3d.py:150-158).
@@ -67,10 +68,18 @@ def unet_forward_flops(cfg: UNetConfig, batch: int,
         f += 2 * 2.0 * vox * vox * inner    # self attn matmuls
         f += 2.0 * vox * inner * inner      # self out
         ctx = cfg.context_dim or inner
-        f += 2 * 2.0 * 1 * ctx * inner      # cross k/v (1 token)
-        f += 2.0 * vox * inner * inner      # cross q
-        f += 2 * 2.0 * vox * 1 * inner      # cross attn matmuls
-        f += 2.0 * vox * inner * inner      # cross out
+        if m1_cross:
+            # executed single-token shortcut (nn/attention.py M==1 path):
+            # softmax over one key is identically 1, so cross-attention is
+            # a value broadcast — only the v projection and a one-token
+            # out-projection run; q/k/attn matmuls are dead compute
+            f += 2.0 * 1 * ctx * inner      # cross v (1 token)
+            f += 2.0 * 1 * inner * inner    # cross out (1 token)
+        else:
+            f += 2 * 2.0 * 1 * ctx * inner      # cross k/v (1 token)
+            f += 2.0 * vox * inner * inner      # cross q
+            f += 2 * 2.0 * vox * 1 * inner      # cross attn matmuls
+            f += 2.0 * vox * inner * inner      # cross out
         f += 2 * 2.0 * vox * inner * 4 * inner * 1.5  # GEGLU FF
         f += 2.0 * vox * inner * ch         # proj_out
         return f
@@ -169,14 +178,20 @@ def vqvae_decode_flops(cfg: VQVAEConfig, batch: int) -> float:
 def sample_flops(unet_cfg: UNetConfig, vq_cfg: VQVAEConfig, num_objs: int,
                  ddim_steps: int, cfg_scale_batched: bool = True,
                  cfg_dedup: bool = False,
-                 upsample_parity: bool = False) -> float:
+                 upsample_parity: bool = False,
+                 m1_cross: bool = False) -> float:
     """FLOPs to generate shapes for one scene's objects with DDIM + CFG.
 
     ``cfg_dedup=True`` counts the ACTUAL executed FLOPs of the CFG-deduped
     forward (shared context-free prefix); False counts the reference's naive
-    2×-batched program (the right denominator for the A100 baseline)."""
+    2×-batched program (the right denominator for the A100 baseline).
+    ``m1_cross=True`` additionally counts the executed single-relation-token
+    cross-attention shortcut (nn/attention.py M==1 path) instead of the
+    full cross-attention the reference runs — set it whenever cfg_dedup is
+    set, for the same honest-MFU reason."""
     b = num_objs * (2 if cfg_scale_batched else 1)
     base = num_objs if (cfg_dedup and cfg_scale_batched) else 0
     return (ddim_steps * unet_forward_flops(unet_cfg, b, cfg_pair_base=base,
-                                            upsample_parity=upsample_parity)
+                                            upsample_parity=upsample_parity,
+                                            m1_cross=m1_cross)
             + vqvae_decode_flops(vq_cfg, num_objs))

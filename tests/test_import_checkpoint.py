@@ -280,3 +280,16 @@ def test_adamw_first_update_matches_torch_after_seating():
     np.testing.assert_allclose(np.asarray(new_params["bias"]),
                                lin.bias.detach().numpy(),
                                rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.fast
+def test_main_guard_is_last_statement():
+    """Running the CLI as a script executes top-level code in order; the
+    __main__ guard must come after every function it can reach, or a direct
+    `python cli/import_checkpoint.py` raises NameError (it did for
+    _import_v1full, which was defined below the guard)."""
+    import ast
+    import commonscenes_tpu.cli.import_checkpoint as m
+    tree = ast.parse(open(m.__file__).read())
+    assert isinstance(tree.body[-1], ast.If), \
+        "__main__ guard must be the final top-level statement"

@@ -267,3 +267,36 @@ def test_partition_vertices_native_matches_numpy():
         ref_off = np.zeros(len(inst) + 1, np.int64)
         ref_off[1:] = np.cumsum([len(p) for p in parts])
         np.testing.assert_array_equal(off, ref_off)
+
+
+def test_rscan_angle_bins_clamped(tmp_path):
+    """rscan folds the reference's train-time [0,24) angle clamp into the
+    reader (reference dataset/dataset.py:546 digitizes raw and its train
+    script clamps): canonical-direction shifts can push yaw past 2π, which
+    must clamp to bin 23, not index 24."""
+    import numpy as np
+    root = tmp_path / "rscan_ang"
+    root.mkdir()
+    (root / "classes.txt").write_text("chair\n")
+    (root / "relationships.txt").write_text("left\n")
+    (root / "relationships_train.json").write_text(json.dumps({"scans": [{
+        "scan": "scan-0",
+        "objects": {"1": "chair", "2": "chair", "3": "chair"},
+        "relationships": [],
+    }]}))
+    (root / "obj_boxes_train_refined.json").write_text(json.dumps({
+        "scan-0": {
+            "1": {"param7": [1, 1, 1, 0, 0, 0, 0.0], "direction": 1},
+            # yaw 120° with direction 4 (+270°) → 390° > 2π → clamp to 23
+            "2": {"param7": [1, 1, 1, 0, 0, 0, np.deg2rad(120.0)],
+                  "direction": 4},
+            "3": {"param7": [1, 1, 1, 0, 0, 0, np.deg2rad(359.0)],
+                  "direction": 1},
+        }}))
+    from commonscenes_tpu.data.rscan import RScanDataset
+    ds = RScanDataset(str(root), split="train", use_canonical=True)
+    scene = ds[0]
+    assert scene.angles[0] == 0            # yaw 0 → first bin
+    assert scene.angles[1] == 23           # overflow clamps, no index 24
+    assert scene.angles[2] == 22           # 359° → last in-range interval
+    assert scene.angles.max() <= 23 and scene.angles.min() >= 0
