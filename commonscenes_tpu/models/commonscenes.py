@@ -228,6 +228,17 @@ class CommonScenesV2Full:
         relation tokens (reference rel2shape,
         sdfusion_txt2shape_model.py:460-516; the PLMS sampler ships in the
         reference but is never wired into eval — here it's selectable)."""
+        from commonscenes_tpu.nn.conv3d import inference_trace
+        # the whole sampling program (denoise scan AND the VQ-VAE decode)
+        # is forward-only, so inference-scoped conv lowerings apply to it
+        with inference_trace(True):
+            return self._gen_shapes_impl(
+                variables, uc_rel, c_rel, k_noise, shape_slot_idx, tables,
+                uc_scale, shared_noise, shape_mask, sampler)
+
+    def _gen_shapes_impl(self, variables, uc_rel, c_rel, k_noise,
+                         shape_slot_idx, tables, uc_scale, shared_noise,
+                         shape_mask=None, sampler: str = "ddim"):
         cfg = self.cfg
         if shape_slot_idx is not None:
             c_rel = jnp.take(c_rel, shape_slot_idx, axis=0)
