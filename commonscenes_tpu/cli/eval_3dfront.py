@@ -112,7 +112,9 @@ def _export_scene(export_dir, scene, vocab, b, bi, boxes_d, angles_row,
         # box-variant mesh retrieval (reference get_textured_objects_v2,
         # helpers/util.py:86-138): nearest 3D-FUTURE model by box size,
         # placed by predicted yaw + translation
-        from commonscenes_tpu.eval.scene_export import (angle_bin_to_degrees,
+        from commonscenes_tpu.eval.scene_export import (DEFAULT_PALETTE,
+                                                        angle_bin_to_degrees,
+                                                        export_glb,
                                                         export_obj)
         sel = [j for j in range(N) if mask[j]]
         rows = boxes_d[bi * N:(bi + 1) * N]
@@ -130,14 +132,23 @@ def _export_scene(export_dir, scene, vocab, b, bi, boxes_d, angles_row,
             export_obj(os.path.join(export_dir,
                                     f"{scene.scan_id}_retrieval.obj"),
                        meshes, mnames)
+            # reference exports each scene as .glb too
+            # (helpers/visualize_scene.py:256,359,443)
+            cols = [DEFAULT_PALETTE[int(objs_row[sel[r["slot"]]])
+                                    % len(DEFAULT_PALETTE)]
+                    for r in recs if "mesh" in r]
+            export_glb(os.path.join(export_dir,
+                                    f"{scene.scan_id}_retrieval.glb"),
+                       meshes, mnames, colors=cols)
     if sdfs is not None and slot_rows is not None and len(slot_rows):
         from commonscenes_tpu.eval.scene_export import (
-            angle_bin_to_degrees, export_obj, fit_vertices_to_box)
+            DEFAULT_PALETTE, angle_bin_to_degrees, export_glb, export_obj,
+            fit_vertices_to_box)
         from commonscenes_tpu.ops.mesh import marching_tetrahedra
         np.savez_compressed(
             os.path.join(export_dir, f"{scene.scan_id}_sdf.npz"),
             sdf=sdfs.astype(np.float32), slots=np.asarray(slot_rows) % N)
-        meshes, names = [], []
+        meshes, names, cols = [], [], []
         for kk, flat_slot in enumerate(slot_rows):
             slot = int(flat_slot) % N
             vv, ff = marching_tetrahedra(sdfs[kk], level=0.02)
@@ -149,9 +160,15 @@ def _export_scene(export_dir, scene, vocab, b, bi, boxes_d, angles_row,
                     int(angles_row[bi * N + slot])))
             meshes.append((vv, ff))
             names.append(f"{vocab.obj_classes[int(objs_row[slot])]}_{kk}")
+            cols.append(DEFAULT_PALETTE[int(objs_row[slot])
+                                        % len(DEFAULT_PALETTE)])
         if meshes:
             export_obj(os.path.join(export_dir, f"{scene.scan_id}.obj"),
                        meshes, names)
+            # reference exports each scene as .glb too
+            # (helpers/visualize_scene.py:256,359,443)
+            export_glb(os.path.join(export_dir, f"{scene.scan_id}.glb"),
+                       meshes, names, colors=cols)
     return rec
 
 

@@ -76,6 +76,91 @@ def export_obj(path: str, meshes: Sequence[Tuple[np.ndarray, np.ndarray]],
             offset += len(verts)
 
 
+def export_glb(path: str, meshes: Sequence[Tuple[np.ndarray, np.ndarray]],
+               names: Optional[Sequence[str]] = None,
+               colors: Optional[Sequence[Sequence[float]]] = None) -> None:
+    """Write a binary glTF 2.0 (.glb) scene: one node per object mesh with
+    an optional per-object baseColor material.
+
+    The reference exports every evaluated scene as
+    ``{scene_id}_{render_type}.glb`` via trimesh
+    (helpers/visualize_scene.py:256,359,443); this writer produces the same
+    artifact without the trimesh/pyrender dependency stack — plain glTF
+    JSON + packed binary buffers (positions fp32 VEC3, indices uint32).
+    """
+    import json as _json
+    import struct
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+
+    bin_parts: list = []
+    buffer_views = []
+    accessors = []
+    gltf_meshes = []
+    nodes = []
+    materials = []
+    offset = 0
+
+    def _pad4(b: bytes, fill: bytes = b"\x00") -> bytes:
+        return b + fill * (-len(b) % 4)
+
+    for k, (verts, faces) in enumerate(meshes):
+        v = np.ascontiguousarray(np.asarray(verts, np.float32))
+        f = np.ascontiguousarray(np.asarray(faces, np.uint32))
+        if v.size == 0 or f.size == 0:
+            continue
+        vb = _pad4(v.tobytes())
+        ib = _pad4(f.tobytes())
+        buffer_views.append({"buffer": 0, "byteOffset": offset,
+                             "byteLength": v.nbytes, "target": 34962})
+        offset += len(vb)
+        buffer_views.append({"buffer": 0, "byteOffset": offset,
+                             "byteLength": f.nbytes, "target": 34963})
+        offset += len(ib)
+        bin_parts += [vb, ib]
+        acc_pos = len(accessors)
+        accessors.append({"bufferView": len(buffer_views) - 2,
+                          "componentType": 5126, "count": int(v.shape[0]),
+                          "type": "VEC3",
+                          "min": [float(x) for x in v.min(0)],
+                          "max": [float(x) for x in v.max(0)]})
+        accessors.append({"bufferView": len(buffer_views) - 1,
+                          "componentType": 5125, "count": int(f.size),
+                          "type": "SCALAR"})
+        prim = {"attributes": {"POSITION": acc_pos}, "indices": acc_pos + 1}
+        if colors is not None:
+            rgb = [float(c) for c in colors[k]][:3]
+            prim["material"] = len(materials)
+            materials.append({
+                "name": (names[k] if names else f"obj_{k}"),
+                "pbrMetallicRoughness": {
+                    "baseColorFactor": rgb + [1.0],
+                    "metallicFactor": 0.0, "roughnessFactor": 0.9}})
+        gltf_meshes.append({"primitives": [prim]})
+        nodes.append({"mesh": len(gltf_meshes) - 1,
+                      "name": (names[k] if names else f"obj_{k}")})
+
+    doc = {"asset": {"version": "2.0", "generator": "commonscenes_tpu"},
+           "scene": 0,
+           "scenes": [{"nodes": list(range(len(nodes)))}],
+           "nodes": nodes, "meshes": gltf_meshes,
+           "accessors": accessors, "bufferViews": buffer_views,
+           "buffers": [{"byteLength": offset}]}
+    if materials:
+        doc["materials"] = materials
+
+    json_bytes = _pad4(_json.dumps(doc, separators=(",", ":")).encode(),
+                       b" ")
+    bin_bytes = b"".join(bin_parts)
+    total = 12 + 8 + len(json_bytes) + 8 + len(bin_bytes)
+    with open(path, "wb") as fh:
+        fh.write(struct.pack("<III", 0x46546C67, 2, total))   # glTF v2
+        fh.write(struct.pack("<II", len(json_bytes), 0x4E4F534A))  # JSON
+        fh.write(json_bytes)
+        fh.write(struct.pack("<II", len(bin_bytes), 0x004E4942))   # BIN
+        fh.write(bin_bytes)
+
+
 DEFAULT_PALETTE = np.array([
     [0.9, 0.9, 0.9], [0.8, 0.2, 0.2], [0.2, 0.8, 0.2], [0.2, 0.2, 0.8],
     [0.8, 0.8, 0.2], [0.8, 0.2, 0.8], [0.2, 0.8, 0.8], [0.5, 0.3, 0.1],

@@ -97,6 +97,10 @@ def test_eval_cli_box_retrieval_export(tmp_path):
     assert len(layouts) == 2
     objs = [fn for fn in os.listdir(out) if fn.endswith("_retrieval.obj")]
     assert objs, "no retrieved-mesh OBJ scenes written"
+    glbs = [fn for fn in os.listdir(out) if fn.endswith("_retrieval.glb")]
+    assert glbs, "no retrieved-mesh GLB scenes written"
+    raw = open(os.path.join(out, glbs[0]), "rb").read()
+    assert raw[:4] == b"glTF"
     for rec in layouts:
         assert "retrieved_boxmesh" in rec
         assert any(v is not None for v in rec["retrieved_boxmesh"].values())

@@ -85,3 +85,72 @@ def test_compute_fid_kid_on_renders(rng):
     res_diff = compute_fid_kid(imgs_a, imgs_b, extractor=random_patch_features)
     assert res_same["fid"] < 1e-5
     assert res_diff["fid"] > res_same["fid"]
+
+
+def test_glb_export_structurally_valid(tmp_path):
+    """export_glb writes a parseable binary glTF 2.0 container whose
+    accessors round-trip the input geometry (the reference exports every
+    eval scene as .glb, helpers/visualize_scene.py:256,359,443)."""
+    import json
+    import struct
+
+    from commonscenes_tpu.eval.scene_export import export_glb
+
+    sdf = box_sdf(16, (0.5, 0.5, 0.5), trunc=1.0)
+    verts, faces = marching_tetrahedra(sdf, level=0.0)
+    tri = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    tfaces = np.array([[0, 1, 2]], np.int64)
+    p = str(tmp_path / "scene.glb")
+    export_glb(p, [(verts, faces), (tri, tfaces)], names=["cube", "tri"],
+               colors=[[0.8, 0.2, 0.2], [0.2, 0.8, 0.2]])
+
+    raw = open(p, "rb").read()
+    magic, version, total = struct.unpack("<III", raw[:12])
+    assert magic == 0x46546C67 and version == 2 and total == len(raw)
+    jlen, jtype = struct.unpack("<II", raw[12:20])
+    assert jtype == 0x4E4F534A and jlen % 4 == 0
+    doc = json.loads(raw[20:20 + jlen])
+    blen, btype = struct.unpack("<II", raw[20 + jlen:28 + jlen])
+    assert btype == 0x004E4942
+    payload = raw[28 + jlen:28 + jlen + blen]
+    assert doc["buffers"][0]["byteLength"] <= blen
+
+    assert len(doc["meshes"]) == 2 and len(doc["nodes"]) == 2
+    assert doc["nodes"][0]["name"] == "cube"
+    assert len(doc["materials"]) == 2
+    np.testing.assert_allclose(
+        doc["materials"][1]["pbrMetallicRoughness"]["baseColorFactor"],
+        [0.2, 0.8, 0.2, 1.0])
+
+    # round-trip the second (tiny) mesh through its accessors/bufferViews
+    mesh1 = doc["meshes"][1]["primitives"][0]
+    acc_p = doc["accessors"][mesh1["attributes"]["POSITION"]]
+    acc_i = doc["accessors"][mesh1["indices"]]
+    assert acc_p["count"] == 3 and acc_i["count"] == 3
+    bv = doc["bufferViews"][acc_p["bufferView"]]
+    assert bv["byteOffset"] % 4 == 0
+    got = np.frombuffer(
+        payload[bv["byteOffset"]:bv["byteOffset"] + bv["byteLength"]],
+        np.float32).reshape(3, 3)
+    np.testing.assert_allclose(got, tri)
+    bvi = doc["bufferViews"][acc_i["bufferView"]]
+    got_i = np.frombuffer(
+        payload[bvi["byteOffset"]:bvi["byteOffset"] + bvi["byteLength"]],
+        np.uint32)
+    np.testing.assert_array_equal(got_i, [0, 1, 2])
+    np.testing.assert_allclose(acc_p["min"], [0, 0, 0])
+    np.testing.assert_allclose(acc_p["max"], [1, 1, 0])
+
+    # first mesh: accessor counts match the marching-tetrahedra geometry
+    mesh0 = doc["meshes"][0]["primitives"][0]
+    assert doc["accessors"][mesh0["attributes"]["POSITION"]]["count"] \
+        == len(verts)
+    assert doc["accessors"][mesh0["indices"]]["count"] == faces.size
+
+    # degenerate/empty meshes are skipped, not written
+    p2 = str(tmp_path / "empty.glb")
+    export_glb(p2, [(np.zeros((0, 3), np.float32),
+                     np.zeros((0, 3), np.int64)), (tri, tfaces)])
+    doc2 = json.loads(open(p2, "rb").read()[20:][:struct.unpack(
+        "<I", open(p2, "rb").read()[12:16])[0]])
+    assert len(doc2["meshes"]) == 1
