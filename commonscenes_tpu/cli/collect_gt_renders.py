@@ -16,13 +16,18 @@ import sys
 import numpy as np
 
 
-def box_mesh(box):
-    """Axis-aligned box triangle mesh from (l, h, w, px, py, pz)."""
+def box_mesh(box, angle_deg: float = 0.0):
+    """Box triangle mesh from (l, h, w, px, py, pz), yawed by angle_deg —
+    GT box proxies must carry the same rotation the SDF/predicted meshes
+    get, or FID measures a rotation-distribution gap instead of quality."""
     l, h, w, px, py, pz = box[:6]
     xs = np.array([-w / 2, w / 2])
     ys = np.array([0.0, h])
     zs = np.array([-l / 2, l / 2])
     verts = np.array([[x, y, z] for x in xs for y in ys for z in zs])
+    if angle_deg:
+        from commonscenes_tpu.eval.scene_export import yaw_rotation
+        verts = verts @ yaw_rotation(angle_deg).T
     verts += np.array([px, py, pz])
     faces = np.array([
         [0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
@@ -89,11 +94,11 @@ def main(argv=None):
                     and scene.has_sdf[k]:
                 v, f = marching_tetrahedra(scene.sdfs[k], level=0.02)
                 if len(f) == 0:
-                    v, f = box_mesh(boxes[k])
+                    v, f = box_mesh(boxes[k], angle_deg=angle)
                 else:
                     v = fit_vertices_to_box(v, boxes[k], angle_deg=angle)
             else:
-                v, f = box_mesh(boxes[k])
+                v, f = box_mesh(boxes[k], angle_deg=angle)
             meshes.append((v, f))
             classes.append(c)
         img = render_topdown(meshes, classes, resolution=args.resolution,

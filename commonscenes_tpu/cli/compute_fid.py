@@ -25,8 +25,13 @@ def load_dir(path: str, room_type: str = "", limit: int = 0) -> np.ndarray:
     if room_type:
         names = [os.path.splitext(os.path.basename(f))[0] for f in files]
         keep = set(filter_scenes_by_room(names, room_type))
-        filtered = [f for f, n in zip(files, names) if n in keep]
-        files = filtered or files
+        files = [f for f, n in zip(files, names) if n in keep]
+        if not files:
+            # never silently fall back to the unfiltered directory — a
+            # cross-room FID labeled as room-filtered is worse than an error
+            raise SystemExit(
+                f"room_type={room_type!r} matched 0 of {len(names)} PNGs "
+                f"in {path}")
     if limit:
         files = files[:limit]
     if not files:

@@ -50,8 +50,12 @@ def load_sdf_dir(path: str):
         classes = None
         if scan in layouts and slots is not None:
             objs = layouts[scan]["objs"]
-            # layouts.json rows are in mask order; slots index the flat view
-            classes = [objs[min(i, len(objs) - 1)] for i in range(len(sdfs))]
+            # sdf rows are PACKED: row k belongs to scene slot slots[k],
+            # and layouts.json "objs" is indexed by slot — map through it
+            # (a clamped row index would mislabel any scene where packed
+            # rows don't coincide with 0..n-1)
+            classes = [objs[int(s)] if int(s) < len(objs) else 0
+                       for s in slots[:len(sdfs)]]
         for k in range(len(sdfs)):
             cls = classes[k] if classes else 0
             out[cls].append(sdfs[k])

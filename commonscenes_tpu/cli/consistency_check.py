@@ -102,6 +102,13 @@ def main(argv=None):
                 for a, b in slot_pairs_by_scan[scan]
                 if a in row_of_slot and b in row_of_slot]
 
+        if pairs_rows is None and (inst_pairs_by_scan or slot_pairs_by_scan):
+            # a curated pair list was supplied but omits this scan — the
+            # reference protocol scores ONLY listed pairs, so skip instead
+            # of silently mixing all-pairs scores into the aggregate
+            print(f"[!] {scan}: not in pairs_json — skipped")
+            continue
+
         # pairs are scored under a synthetic 'same style as' edge label —
         # independent of the dataset's own predicate vocabulary
         pair_preds = ["same style as"]

@@ -257,6 +257,7 @@ def main(argv=None):
                    "with_CLIP": hp["use_clip"], "with_SDF": True,
                    "pooling": hp["gconv_pooling"],
                    "residual": hp["residual"],
+                   "with_angles": hp["use_angles"],
                    "use_E2": hp["use_e2"],
                    "diff_yaml": os.path.abspath(base_yaml),
                    # layout dims the flag surface can't express — consumed
@@ -396,6 +397,7 @@ def _import_v1full(args, merged):
                    "with_CLIP": False, "with_SDF": False,
                    "pooling": hp["gconv_pooling"],
                    "residual": hp["residual"],
+                   "with_angles": hp["use_angles"],
                    "layout": {"embedding_dim": hp["embedding_dim"],
                               "gconv_num_layers": hp["gconv_num_layers"],
                               "gconv_num_shared_layers":

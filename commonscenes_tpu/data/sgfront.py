@@ -171,7 +171,17 @@ class SGFrontDataset:
             order = np.asarray(dic["instance_order"])
             out = []
             for inst in instances_order:
-                out.append(feats_ins[:-1][order == inst])
+                row = feats_ins[:-1][order == inst]
+                if row.shape[0] == 0:
+                    # an instance absent from the pickle must NOT be
+                    # dropped — that would shift every later object onto
+                    # its neighbour's feature row; zero-fill and warn
+                    import sys
+                    print(f"[!] {pkl}: instance {inst} missing from "
+                          f"instance_order — zero CLIP feature",
+                          file=sys.stderr)
+                    row = np.zeros((1, feats_ins.shape[1]), np.float32)
+                out.append(row[:1])
             out.append(feats_ins[-1][None])
             text_feats = np.concatenate(out, 0)
             # the reference writes rel_feats as a dict keyed by the relation

@@ -166,7 +166,11 @@ def make_scene(vocab: Vocab, rng: np.random.RandomState, num_objs: int = 8,
 
 
 def _pseudo_clip(text: str, dim: int) -> np.ndarray:
-    seed = abs(hash(text)) % (2 ** 31)
+    # sha1, NOT hash(): Python's salted hash changes per process, which
+    # would silently swap every conditioning feature between a train run
+    # and a later eval run (same scheme as data/clip_cache.py)
+    import hashlib
+    seed = int(hashlib.sha1(text.encode()).hexdigest()[:8], 16)
     r = np.random.RandomState(seed)
     v = r.randn(dim).astype(np.float32)
     return v / np.linalg.norm(v)

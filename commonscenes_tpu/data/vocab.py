@@ -102,8 +102,10 @@ class Vocab:
             with open(rel_path) as f:
                 predicates = ["in"] + [ln.strip() for ln in f if ln.strip()]
         mapping = None
-        if not large:
-            map_path = os.path.join(root, "mapping.json")
+        map_path = os.path.join(root, "mapping.json")
+        if not large and os.path.exists(map_path):
+            # tolerate a missing mapping.json like SGFrontDataset does
+            # (grained names used as coarse classes directly)
             with open(map_path) as f:
                 mapping = json.load(f)
             coarse = set(mapping.get(g, g) for g in grained)

@@ -49,7 +49,15 @@ def ddim_sample(denoise_fn: Callable, tables: DDIMTables, x_T: jax.Array,
     if use_cfg:
         cond_full = jnp.concatenate([uncond, cond], axis=0)
 
-    stochastic = eta_noise_key is not None and bool(jnp.any(sigmas != 0.0))
+    # static when the sigma table is concrete (the normal case: DDIMTables
+    # holds numpy); if a caller passes traced tables the branch can't be
+    # decided at trace time, so keep the noise term — s_t==0 nullifies it
+    import numpy as _np
+    if isinstance(tables.sigmas, jax.core.Tracer):
+        any_sigma = True
+    else:
+        any_sigma = bool(_np.any(_np.asarray(tables.sigmas) != 0.0))
+    stochastic = eta_noise_key is not None and any_sigma
 
     def body(carry, idx):
         x, key = carry

@@ -105,10 +105,24 @@ def make_noise_schedule(timesteps: int = 1000, beta_schedule: str = "linear",
 
 def make_ddim_timesteps(num_ddim_steps: int, num_ddpm_steps: int,
                         method: str = "uniform") -> np.ndarray:
-    """DDIM sub-sequence (reference ldm_diffusion_util.py:68-83; note +1)."""
+    """DDIM sub-sequence (reference ldm_diffusion_util.py:68-83; note +1).
+
+    Reference LDM quirk, kept for parity: 'uniform' uses the FLOOR stride,
+    so when num_ddim_steps doesn't divide num_ddpm_steps the chain runs
+    MORE steps than asked (e.g. 64 of 1000 → 67 actual). The actual count
+    is len(tables.timesteps); we log the overshoot instead of hiding it."""
     if method == "uniform":
+        if num_ddim_steps > num_ddpm_steps:
+            raise ValueError(
+                f"ddim_steps ({num_ddim_steps}) > ddpm timesteps "
+                f"({num_ddpm_steps})")
         c = num_ddpm_steps // num_ddim_steps
         steps = np.asarray(list(range(0, num_ddpm_steps, c)))
+        if len(steps) != num_ddim_steps:
+            import sys
+            print(f"[!] ddim uniform grid: {num_ddim_steps} requested → "
+                  f"{len(steps)} actual steps (reference floor-stride "
+                  f"quirk)", file=sys.stderr)
     elif method == "quad":
         steps = (np.linspace(0, np.sqrt(num_ddpm_steps * 0.8), num_ddim_steps) ** 2).astype(int)
     else:

@@ -23,11 +23,11 @@ from commonscenes_tpu.ops.emd import emd_sinkhorn
 
 def pairwise_cd_matrix(sample: jax.Array, ref: jax.Array,
                        use_pallas: bool = True) -> np.ndarray:
-    """[Ns,P,3] × [Nr,P,3] → [Ns,Nr] chamfer matrix."""
-    def row(s):
-        return chamfer_distance(jnp.broadcast_to(s[None], ref.shape), ref,
-                                use_pallas)
-    return np.asarray(jax.lax.map(row, sample))
+    """[Ns,P,3] × [Nr,P,3] → [Ns,Nr] chamfer matrix (single implementation
+    lives in ops/chamfer.py next to the kernel and its parity tests)."""
+    from commonscenes_tpu.ops.chamfer import pairwise_chamfer_matrix
+    return np.asarray(pairwise_chamfer_matrix(sample, ref,
+                                              use_pallas=use_pallas))
 
 
 def pairwise_emd_matrix(sample: jax.Array, ref: jax.Array,

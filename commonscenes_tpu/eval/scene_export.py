@@ -54,10 +54,13 @@ def fit_vertices_to_box(verts: np.ndarray, box: np.ndarray,
 
 
 def angle_bin_to_degrees(bin_idx: int, num_bins: int = 24) -> float:
-    """Inverse of the dataset binning (np.digitize over [-180°, 180°],
-    threedfront_dataset.py:377-378): bin centers."""
-    edges = np.linspace(-180, 180, num_bins)
-    return float(edges[min(bin_idx, num_bins - 1)])
+    """Reference decode convention (scripts/eval_3dfront.py:516):
+    ``-180 + (bin + 1) * (360 / num_bins)`` — every rendered/exported yaw
+    uses exactly the reference's mapping (its encode digitizes over
+    linspace(-180, 180, 24) while the decode assumes 15° bins; that
+    asymmetry is the reference's, kept for parity)."""
+    return float(-180.0 + (min(bin_idx, num_bins - 1) + 1)
+                 * (360.0 / num_bins))
 
 
 def export_obj(path: str, meshes: Sequence[Tuple[np.ndarray, np.ndarray]],

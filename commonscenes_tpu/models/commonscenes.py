@@ -245,6 +245,7 @@ class CommonScenesV2Full:
             uc_rel = jnp.take(uc_rel, shape_slot_idx, axis=0)
         K = c_rel.shape[0]
         z_sp, zc = cfg.vqvae.z_spatial, cfg.vqvae.embed_dim
+        k_noise, k_eta = jax.random.split(k_noise)
         if shared_noise:
             single = jax.random.normal(k_noise, (1, z_sp, z_sp, z_sp, zc))
             x_T = jnp.tile(single, (K, 1, 1, 1, 1))
@@ -276,8 +277,12 @@ class CommonScenesV2Full:
                     return self.denoiser.apply(variables["df"], x, t, c_full,
                                                cfg_pair=True, inference=True)
 
+            # eta key always threaded: with ddim_eta=0 the sigma table is
+            # all-zero and the stochastic branch compiles away; with eta>0
+            # the reference adds sigma_t·noise each step (ddim.py:241-243)
             samples = ddim_sample(denoise_fn, tables, x_T, c_in, uc_in,
-                                  uc_scale=uc_scale, cfg_fn=cfg_fn)
+                                  uc_scale=uc_scale, cfg_fn=cfg_fn,
+                                  eta_noise_key=k_eta)
         gen_sdf = self._decode_latents(variables, samples)
         if shape_mask is not None:
             gen_sdf = gen_sdf * shape_mask.reshape(-1, 1, 1, 1, 1)

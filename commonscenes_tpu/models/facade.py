@@ -99,18 +99,20 @@ class SceneVAE:
         """Training forward — the reference forward_mani (VAE.py:69-101)."""
         if self.type_ == "v2_full":
             return self.model.train_forward(variables, batch, key, train=train)
+        # mutable is a list either way, so flax returns (out, updates) in
+        # both modes; normalize the updates tree to the v2_full shape
+        # ({"layout": ...}) so facade callers are variant-agnostic
         mutable = ["batch_stats"] if train else []
         if self.type_ == "v1_full":
-            out = self.v1.apply(variables["layout"], batch.enc, batch.dec,
-                                shapes_gt, batch.node_new, batch.node_changed,
-                                key, train=train, mutable=mutable)
+            out, ups = self.v1.apply(
+                variables["layout"], batch.enc, batch.dec, shapes_gt,
+                batch.node_new, batch.node_changed, key, train=train,
+                mutable=mutable)
         else:
-            out = self.layout.apply(variables["layout"], batch.enc, batch.dec,
-                                    batch.node_new, batch.node_changed, key,
-                                    train=train, mutable=mutable)
-        if train:
-            return out
-        return out, {}
+            out, ups = self.layout.apply(
+                variables["layout"], batch.enc, batch.dec, batch.node_new,
+                batch.node_changed, key, train=train, mutable=mutable)
+        return out, ({"layout": ups} if train else {})
 
     def encode_means(self, variables, enc, shapes_gt=None):
         """Latent means for train-set statistics (VAE.py:160-191)."""

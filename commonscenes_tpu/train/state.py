@@ -73,15 +73,3 @@ class TrainState:
     disc_stats: Any
     gen_opt: Any
     disc_opt: Any
-
-    def variables(self) -> Dict[str, Any]:
-        """Assemble flax variable trees for model application."""
-        v = {
-            "layout": {"params": self.gen_params["layout"],
-                       "batch_stats": self.gen_stats["layout"]},
-            "df": {"params": self.gen_params["df"]}
-            if self.gen_params.get("df") else None,
-            "vqvae": {"params": self.vqvae_params}
-            if self.vqvae_params else None,
-        }
-        return v

@@ -31,7 +31,9 @@ from commonscenes_tpu.models.v1_full import V1FullVAE
 from commonscenes_tpu.train.state import (clip_subtree_by_norm,
                                           make_discriminator_optimizer,
                                           scrub_nan_grads)
-from commonscenes_tpu.train.step_v2full import _touched_triple_mask, _weighted_bce
+from commonscenes_tpu.train.step_v2full import (V2FullTrainer,
+                                                _touched_triple_mask,
+                                                _weighted_bce)
 
 
 @struct.dataclass
@@ -62,9 +64,19 @@ class V1FullTrainer:
         self.boxD = BoxDiscriminator(num_obj_classes=num_obj_classes,
                                      num_pred_classes=num_pred_classes)
         self.shape_aux = ShapeAuxiliary(num_classes=num_obj_classes)
+        # reference-faithful: every non-v2_full variant trains with plain
+        # Adam at auxlr and NO lr schedule/weight decay
+        # (scripts/train_3dfront.py:249-252 "optimizer for model v1 and
+        # v2_box ... optim.Adam(params, lr=args.auxlr)"); the milestone
+        # schedule belongs to v2_full's optimizerFULL only
         self.tx = optax.adam(cfg.train.aux_lr)
         self.aux_tx = make_discriminator_optimizer(cfg.train)
         self.boxd_tx = make_discriminator_optimizer(cfg.train)
+
+    # reference D-step math is identical across variants
+    # (scripts/train_3dfront.py:355-385 runs the same boxD update for the
+    # v1 branches); reuse the v2 trainer's implementation verbatim
+    _disc_loss = V2FullTrainer._disc_loss
 
     def init_state(self, key, batch: GraphBatch, shapes_gt) -> V1TrainState:
         k1, k2, k3 = jax.random.split(key, 3)
@@ -124,9 +136,13 @@ class V1FullTrainer:
             keep_mask=keep, enc_mask=enc_mask, kl_weight=cfg.train.kl_weight)
 
         # shape-aux generator terms (train_3dfront.py:318-331, 0.1·loss_genShape)
+        # — train-mode BN like the reference's always-train shapeClassifier
+        # (its stat refresh belongs to the aux step; updates discarded here)
         objs_flat = batch.dec.objs.reshape(B * N)
         aux_vars = {"params": aux_params, "batch_stats": aux_stats}
-        logits_g, rf_g = self.shape_aux.apply(aux_vars, out["shapes"])
+        (logits_g, rf_g), _ = self.shape_aux.apply(
+            aux_vars, out["shapes"], mask=keep, train=True,
+            mutable=["batch_stats"])
         gen_shape = _weighted_bce(rf_g, 1.0, keep) + \
             _masked_ce(logits_g, objs_flat, keep)
 
@@ -151,11 +167,17 @@ class V1FullTrainer:
 
     def _aux_loss(self, aux_params, aux_stats, shapes_pred, shapes_gt,
                   objs_flat, keep):
+        # the reference shapeClassifier stays in train mode for BOTH the
+        # fake and real passes (train_3dfront.py:317-319) — running stats
+        # chain sequentially fake → real; eval-mode fake normalization would
+        # hand the discriminator a normalization cue instead of content
         aux_vars = {"params": aux_params, "batch_stats": aux_stats}
-        logits_fake, rf_fake = self.shape_aux.apply(
-            aux_vars, jax.lax.stop_gradient(shapes_pred))
+        (logits_fake, rf_fake), ups_f = self.shape_aux.apply(
+            aux_vars, jax.lax.stop_gradient(shapes_pred), mask=keep,
+            train=True, mutable=["batch_stats"])
         (logits_real, rf_real), ups = self.shape_aux.apply(
-            aux_vars, shapes_gt, train=True, mutable=["batch_stats"])
+            {"params": aux_params, "batch_stats": ups_f["batch_stats"]},
+            shapes_gt, mask=keep, train=True, mutable=["batch_stats"])
         loss = (_weighted_bce(rf_fake, 0.0, keep)
                 + _weighted_bce(rf_real, 1.0, keep)
                 + _masked_ce(logits_real, objs_flat, keep)
@@ -187,10 +209,30 @@ class V1FullTrainer:
                                              state.aux_opt, state.aux_params)
         aux_params = optax.apply_updates(state.aux_params, aux_up)
 
+        # box-discriminator step (reference trains it every iteration for
+        # the v1 branches too: train_3dfront.py:355-385 boxDloss.backward()
+        # + optimizerDbox.step(); same math as the v2 trainer)
+        boxd_params, boxd_stats, boxd_opt = (state.boxd_params,
+                                             state.boxd_stats,
+                                             state.boxd_opt)
+        if cfg.train.weight_d_box > 0:
+            dec_boxes = batch.dec.boxes.reshape(B * N, -1)
+            boxes_pred_in = keep[:, None] * dec_boxes + \
+                (1 - keep[:, None]) * out["boxes"]
+            (_, (d_ups, d_metrics)), d_grads = jax.value_and_grad(
+                self._disc_loss, has_aux=True)(
+                state.boxd_params, state.boxd_stats, batch, boxes_pred_in)
+            d_up, boxd_opt = self.boxd_tx.update(
+                scrub_nan_grads(d_grads), state.boxd_opt, state.boxd_params)
+            boxd_params = optax.apply_updates(state.boxd_params, d_up)
+            boxd_stats = d_ups.get("batch_stats", state.boxd_stats)
+            metrics.update(d_metrics)
+
         new_state = state.replace(
             step=state.step + 1, params=params,
             stats=updates.get("batch_stats", state.stats),
             aux_params=aux_params,
             aux_stats=aux_ups.get("batch_stats", state.aux_stats),
-            opt=opt, aux_opt=aux_opt)
+            boxd_params=boxd_params, boxd_stats=boxd_stats,
+            opt=opt, aux_opt=aux_opt, boxd_opt=boxd_opt)
         return new_state, metrics

@@ -154,3 +154,44 @@ def test_glb_export_structurally_valid(tmp_path):
     doc2 = json.loads(open(p2, "rb").read()[20:][:struct.unpack(
         "<I", open(p2, "rb").read()[12:16])[0]])
     assert len(doc2["meshes"]) == 1
+
+
+def test_angle_bin_decode_reference_convention():
+    """Pin the reference decode (eval_3dfront.py:516):
+    -180 + (bin+1)*15 for 24 bins."""
+    from commonscenes_tpu.eval.scene_export import angle_bin_to_degrees
+    assert angle_bin_to_degrees(0) == -165.0
+    assert angle_bin_to_degrees(11) == 0.0
+    assert angle_bin_to_degrees(23) == 180.0
+    assert angle_bin_to_degrees(99) == 180.0   # clamped
+
+
+def test_compute_fid_room_filter_never_silently_unfiltered(tmp_path):
+    from commonscenes_tpu.cli.compute_fid import load_dir
+    from commonscenes_tpu.eval.scene_export import save_png
+    import pytest
+    for n in ("a-1", "a-2"):
+        save_png(str(tmp_path / f"{n}.png"),
+                 np.zeros((8, 8, 3), np.float32))
+    with pytest.raises(SystemExit, match="matched 0"):
+        load_dir(str(tmp_path), room_type="bedroom")
+
+
+def test_pseudo_clip_process_stable():
+    """sha1-seeded pseudo-CLIP features must be identical across processes
+    (hash() is salted per process and would scramble eval conditioning)."""
+    import subprocess
+    import sys
+    code = ("from commonscenes_tpu.data.synthetic import _pseudo_clip;"
+            "print(float(_pseudo_clip('a red chair', 16)[0]))")
+    vals = set()
+    for seed in ("1", "2"):
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            env={"PYTHONHASHSEED": seed, "PATH": "/usr/bin:/bin",
+                 "PYTHONPATH": os.path.dirname(os.path.dirname(
+                     os.path.abspath(__file__)))},
+            capture_output=True, text=True, timeout=120)
+        assert out.returncode == 0, out.stderr[-500:]
+        vals.add(out.stdout.strip())
+    assert len(vals) == 1, f"per-process feature drift: {vals}"

@@ -108,3 +108,32 @@ def test_shape_retrieval_class_restricted():
     assert r.lookup(q)[0] == "lamp_1"
     assert r.lookup(q, class_names=["bed", "lamp"]) == ["bed_1", "lamp_1"]
     assert ShapeRetrieval({}).lookup(q) == [None, None]
+
+
+def test_forward_mani_eval_mode_uniform_updates():
+    """train=False must return (out, {}) — not a double-wrapped flax tuple —
+    and train=True must return the v2_full-shaped updates tree
+    ({'layout': {'batch_stats': ...}}) for every variant."""
+    for net, with_clip in (("v1_box", False), ("v2_box", True)):
+        cfg = small_cfg(net)
+        vae = SceneVAE(cfg, VOCAB.num_obj_classes, VOCAB.num_pred_classes)
+        batch = make_batch(with_clip=with_clip, seed=3)
+        variables = vae.init(jax.random.PRNGKey(0), batch)
+        out, updates = vae.forward_mani(variables, batch,
+                                        jax.random.PRNGKey(1), train=False)
+        assert isinstance(out, dict) and out["boxes"].shape == (16, 6), net
+        assert updates == {}, net
+        out_t, ups_t = vae.forward_mani(variables, batch,
+                                        jax.random.PRNGKey(1), train=True)
+        assert "layout" in ups_t and "batch_stats" in ups_t["layout"], net
+
+    cfg = small_cfg("v1_full").replace(layout=LayoutConfig(
+        embedding_dim=16, gconv_num_layers=2, mlp_normalization="batch"))
+    vae = SceneVAE(cfg, VOCAB.num_obj_classes, VOCAB.num_pred_classes)
+    batch = make_batch(with_clip=False, seed=4)
+    shapes_gt = jnp.zeros((16, 256))
+    variables = vae.init(jax.random.PRNGKey(0), batch, shapes_gt=shapes_gt)
+    out, updates = vae.forward_mani(variables, batch, jax.random.PRNGKey(1),
+                                    train=False, shapes_gt=shapes_gt)
+    assert isinstance(out, dict) and out["shapes"].shape == (16, 256)
+    assert updates == {}

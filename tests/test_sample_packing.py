@@ -60,3 +60,37 @@ def test_decode_latents_chunks_any_K():
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(direct),
                                rtol=1e-5, atol=1e-6)
     assert chunked.shape[0] == K
+
+
+def test_sample_eta_noise_threaded():
+    """With ddim_eta>0 the model's sampling chain must actually inject the
+    sigma_t*noise term (reference ddim.py:241-243): samples under eta=1.0
+    must differ from eta=0.0 for the same seed, and eta=0 must stay
+    deterministic in the noise key's eta half."""
+    import dataclasses
+
+    from commonscenes_tpu.models.commonscenes import CommonScenesV2Full
+
+    cfg0 = tiny_cfg()
+    cfg1 = cfg0.replace(diffusion=dataclasses.replace(
+        cfg0.diffusion, ddim_eta=1.0))
+    batch = make_batch(cfg0, seed=0)
+
+    m0 = CommonScenesV2Full(cfg0, VOCAB.num_obj_classes,
+                            VOCAB.num_pred_classes)
+    variables = jax.jit(m0.init)(jax.random.PRNGKey(0), batch)
+    m1 = CommonScenesV2Full(cfg1, VOCAB.num_obj_classes,
+                            VOCAB.num_pred_classes)
+
+    kwargs = dict(gen_shape=True)
+    out0 = m0.sample(variables, batch.dec, jnp.zeros((16,)), jnp.eye(16),
+                     jax.random.PRNGKey(3), **kwargs)
+    out0b = m0.sample(variables, batch.dec, jnp.zeros((16,)), jnp.eye(16),
+                      jax.random.PRNGKey(3), **kwargs)
+    out1 = m1.sample(variables, batch.dec, jnp.zeros((16,)), jnp.eye(16),
+                     jax.random.PRNGKey(3), **kwargs)
+    np.testing.assert_allclose(np.asarray(out0["sdf"]),
+                               np.asarray(out0b["sdf"]))
+    assert np.max(np.abs(np.asarray(out1["sdf"])
+                         - np.asarray(out0["sdf"]))) > 1e-6, \
+        "eta=1.0 sampling identical to eta=0 — sigma noise not injected"
