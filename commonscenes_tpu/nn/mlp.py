@@ -45,6 +45,7 @@ class MaskedBatchNorm(nn.Module):
         if train:
             xf = x.astype(jnp.float32)
             if mask is None:
+                denom = jnp.asarray(xf.shape[0], jnp.float32)
                 mean = jnp.mean(xf, axis=0)
                 var = jnp.mean(jnp.square(xf - mean), axis=0)
             else:
@@ -53,8 +54,12 @@ class MaskedBatchNorm(nn.Module):
                 mean = jnp.sum(xf * m, axis=0) / denom
                 var = jnp.sum(jnp.square(xf - mean) * m, axis=0) / denom
             if not self.is_initializing():
+                # torch BatchNorm1d stores the UNBIASED variance in its
+                # running stats (normalization itself uses the biased one)
+                unbias = denom / jnp.maximum(denom - 1.0, 1.0)
                 ra_mean.value = self.momentum * ra_mean.value + (1.0 - self.momentum) * mean
-                ra_var.value = self.momentum * ra_var.value + (1.0 - self.momentum) * var
+                ra_var.value = self.momentum * ra_var.value + \
+                    (1.0 - self.momentum) * var * unbias
         else:
             mean, var = ra_mean.value, ra_var.value
 

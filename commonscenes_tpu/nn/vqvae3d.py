@@ -134,13 +134,19 @@ class Encoder3D(nn.Module):
         cfg = self.cfg
         h = conv3(cfg.ch, "conv_in", dtype=self.dtype)(x)
         num_res = len(cfg.ch_mult)
+        curr_res = cfg.resolution
         for lvl, mult in enumerate(cfg.ch_mult):
             ch = cfg.ch * mult
             for b in range(cfg.num_res_blocks):
                 h = VQResBlock(ch, cfg.dropout, dtype=self.dtype,
                                name=f"down_{lvl}_block_{b}")(h, deterministic)
+                if curr_res in tuple(cfg.attn_resolutions):
+                    # per-level attention (vqvae_modules.py:225-227,272-273)
+                    h = VQAttnBlock(dtype=self.dtype,
+                                    name=f"down_{lvl}_attn_{b}")(h)
             if lvl != num_res - 1:
                 h = DownsampleAsym(ch, dtype=self.dtype, name=f"down_{lvl}_ds")(h)
+                curr_res //= 2
         h = VQResBlock(h.shape[-1], cfg.dropout, dtype=self.dtype,
                        name="mid_block_1")(h, deterministic)
         h = VQAttnBlock(dtype=self.dtype, name="mid_attn")(h)
@@ -167,13 +173,19 @@ class Decoder3D(nn.Module):
         h = VQAttnBlock(dtype=self.dtype, name="mid_attn")(h)
         h = VQResBlock(block_in, cfg.dropout, dtype=self.dtype,
                        name="mid_block_2")(h, deterministic)
+        curr_res = cfg.resolution // 2 ** (num_res - 1)
         for lvl in reversed(range(num_res)):
             ch = cfg.ch * cfg.ch_mult[lvl]
             for b in range(cfg.num_res_blocks):
                 h = VQResBlock(ch, cfg.dropout, dtype=self.dtype,
                                name=f"up_{lvl}_block_{b}")(h, deterministic)
+                if curr_res in tuple(cfg.attn_resolutions):
+                    # per-level attention (vqvae_modules.py:348-360,395-396)
+                    h = VQAttnBlock(dtype=self.dtype,
+                                    name=f"up_{lvl}_attn_{b}")(h)
             if lvl != 0:
                 h = Upsample3D(ch, dtype=self.dtype, name=f"up_{lvl}_us")(h)
+                curr_res *= 2
         h = GroupNorm(num_groups=_vq_groups(h.shape[-1]), name="norm_out")(h)
         h = jax.nn.gelu(h, approximate=False)
         return conv3(cfg.out_ch, "conv_out", dtype=self.dtype)(h)

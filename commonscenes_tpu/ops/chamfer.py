@@ -26,9 +26,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-_LANE = 128
 
 
 def _round_up(x: int, m: int) -> int:
@@ -188,7 +186,7 @@ def chamfer_distance(x: jax.Array, y: jax.Array,
     return jnp.mean(d1, axis=-1) + jnp.mean(d2, axis=-1)
 
 
-def pairwise_chamfer_matrix(a: jax.Array, b: jax.Array, batch: int = 32,
+def pairwise_chamfer_matrix(a: jax.Array, b: jax.Array,
                             use_pallas: bool = True) -> jax.Array:
     """All-pairs chamfer between two sets of clouds: a [Na,P,3], b [Nb,P,3]
     → [Na, Nb]. Drives MMD/COV/1-NN (_pairwise_EMD_CD_,

@@ -60,6 +60,16 @@ def marching_tetrahedra(sdf: np.ndarray, level: float = 0.02,
     vals = vals[active]
     corner_pos = corner_pos[active].astype(np.float64)
 
+    def orient(tri_batch: np.ndarray, ref_dir: np.ndarray) -> np.ndarray:
+        """Flip triangles whose normal opposes ref_dir (the local
+        inside→outside direction of the emitting tet), so every face winds
+        CCW seen from outside — glTF/OBJ viewers backface-cull otherwise."""
+        n = np.cross(tri_batch[:, 1] - tri_batch[:, 0],
+                     tri_batch[:, 2] - tri_batch[:, 0])
+        flip = np.einsum("fi,fi->f", n, ref_dir) < 0
+        tri_batch[flip] = tri_batch[flip][:, [0, 2, 1]]
+        return tri_batch
+
     tris = []
     for tet in _TETS:
         v = vals[:, tet]                                       # [C, 4]
@@ -78,16 +88,16 @@ def marching_tetrahedra(sdf: np.ndarray, level: float = 0.02,
                 others = [k for k in range(4) if k != ci]
                 pa, va = p[mask, ci], v[mask, ci]
                 e = [interp(pa, p[mask, k], va, v[mask, k]) for k in others]
-                tris.append(np.stack(e, 1))
-
+                t3 = np.stack(e, 1)
+                tris.append(orient(t3, t3.mean(1) - pa))   # away from inside
             # three inside (one outside) → one triangle
             mask = (count == 3) & (~inside[:, ci])
             if mask.any():
                 others = [k for k in range(4) if k != ci]
                 pa, va = p[mask, ci], v[mask, ci]
                 e = [interp(p[mask, k], pa, v[mask, k], va) for k in others]
-                tris.append(np.stack(e, 1))
-
+                t3 = np.stack(e, 1)
+                tris.append(orient(t3, pa - t3.mean(1)))   # toward outside
         # two inside → quad → two triangles
         import itertools
         for pair in itertools.combinations(range(4), 2):
@@ -103,8 +113,9 @@ def marching_tetrahedra(sdf: np.ndarray, level: float = 0.02,
             e_ad = interp(p[mask, a], p[mask, d], v[mask, a], v[mask, d])
             e_bc = interp(p[mask, b], p[mask, c], v[mask, b], v[mask, c])
             e_bd = interp(p[mask, b], p[mask, d], v[mask, b], v[mask, d])
-            tris.append(np.stack([e_ac, e_ad, e_bc], 1))
-            tris.append(np.stack([e_bc, e_ad, e_bd], 1))
+            ref = (p[mask, c] + p[mask, d] - p[mask, a] - p[mask, b]) / 2.0
+            tris.append(orient(np.stack([e_ac, e_ad, e_bc], 1), ref))
+            tris.append(orient(np.stack([e_bc, e_ad, e_bd], 1), ref))
 
     if not tris:
         return np.zeros((0, 3)), np.zeros((0, 3), np.int64)

@@ -91,7 +91,12 @@ def _conv_kernel(x_ref, w_ref, o_ref, acc_ref, *, BB, D, H, W, C, Cout):
 def _conv3d_pallas_impl(x: jax.Array, kernel: jax.Array) -> jax.Array:
     B, D, H, W, C = x.shape
     Cout = kernel.shape[-1]
-    BB = _pick_batch_block(B, D, H, W, C, Cout)
+    # plan with the REAL element size: an fp32 run sized for bf16 blocks
+    # would blow the scoped-VMEM budget at compile time
+    BB = _pick_batch_block(B, D, H, W, C, Cout,
+                           in_bytes=jnp.dtype(x.dtype).itemsize)
+    if BB is None:
+        return _reference_conv(x, kernel)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
     # three W-shifted copies: dynamic sublane slices are not expressible
     # in the kernel (tiling), so tap dx selects a copy via the index map

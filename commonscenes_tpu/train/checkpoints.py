@@ -505,6 +505,11 @@ def import_reference_vqvae(torch_state_dict: Dict[str, Any],
         while f"encoder.down.{lvl}.block.{b}.norm1.weight" in sd:
             resblock(["encoder", f"down_{lvl}_block_{b}"],
                      f"encoder.down.{lvl}.block.{b}")
+            # per-level attention, present when attn_resolutions hits this
+            # level (vqvae_modules.py:225-227)
+            if f"encoder.down.{lvl}.attn.{b}.norm.weight" in sd:
+                attn(["encoder", f"down_{lvl}_attn_{b}"],
+                     f"encoder.down.{lvl}.attn.{b}")
             b += 1
         if f"encoder.down.{lvl}.downsample.conv.weight" in sd:
             conv(["encoder", f"down_{lvl}_ds", "conv"],
@@ -517,6 +522,9 @@ def import_reference_vqvae(torch_state_dict: Dict[str, Any],
         while f"decoder.up.{lvl}.block.{b}.norm1.weight" in sd:
             resblock(["decoder", f"up_{lvl}_block_{b}"],
                      f"decoder.up.{lvl}.block.{b}")
+            if f"decoder.up.{lvl}.attn.{b}.norm.weight" in sd:
+                attn(["decoder", f"up_{lvl}_attn_{b}"],
+                     f"decoder.up.{lvl}.attn.{b}")
             b += 1
         if f"decoder.up.{lvl}.upsample.conv.weight" in sd:
             conv(["decoder", f"up_{lvl}_us", "conv"],

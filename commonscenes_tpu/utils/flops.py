@@ -64,23 +64,26 @@ def unet_forward_flops(cfg: UNetConfig, batch: int,
         heads = cfg.num_heads
         inner = ch
         f = 2.0 * vox * ch * inner          # proj_in (1x1)
-        f += 3 * 2.0 * vox * inner * inner  # self qkv
-        f += 2 * 2.0 * vox * vox * inner    # self attn matmuls
-        f += 2.0 * vox * inner * inner      # self out
+        # per-transformer-block terms repeat transformer_depth times
+        # (SpatialTransformer3D loops `for _ in range(depth)`)
+        b = 3 * 2.0 * vox * inner * inner   # self qkv
+        b += 2 * 2.0 * vox * vox * inner    # self attn matmuls
+        b += 2.0 * vox * inner * inner      # self out
         ctx = cfg.context_dim or inner
         if m1_cross:
             # executed single-token shortcut (nn/attention.py M==1 path):
             # softmax over one key is identically 1, so cross-attention is
             # a value broadcast — only the v projection and a one-token
             # out-projection run; q/k/attn matmuls are dead compute
-            f += 2.0 * 1 * ctx * inner      # cross v (1 token)
-            f += 2.0 * 1 * inner * inner    # cross out (1 token)
+            b += 2.0 * 1 * ctx * inner      # cross v (1 token)
+            b += 2.0 * 1 * inner * inner    # cross out (1 token)
         else:
-            f += 2 * 2.0 * 1 * ctx * inner      # cross k/v (1 token)
-            f += 2.0 * vox * inner * inner      # cross q
-            f += 2 * 2.0 * vox * 1 * inner      # cross attn matmuls
-            f += 2.0 * vox * inner * inner      # cross out
-        f += 2 * 2.0 * vox * inner * 4 * inner * 1.5  # GEGLU FF
+            b += 2 * 2.0 * 1 * ctx * inner      # cross k/v (1 token)
+            b += 2.0 * vox * inner * inner      # cross q
+            b += 2 * 2.0 * vox * 1 * inner      # cross attn matmuls
+            b += 2.0 * vox * inner * inner      # cross out
+        b += 2 * 2.0 * vox * inner * 4 * inner * 1.5  # GEGLU FF
+        f += b * cfg.transformer_depth
         f += 2.0 * vox * inner * ch         # proj_out
         return f
 

@@ -186,6 +186,14 @@ class SampleVisualizer:
             gt_slots = (np.asarray(batch.shapes.scene_idx)
                         * batch.dec.objs.shape[1]
                         + np.asarray(batch.shapes.slot_idx))
+            # the GT reference panel is laid out with the GROUND-TRUTH
+            # boxes/angles — placing GT shapes at predicted positions would
+            # make the comparison panel garbage during warm-up
+            gt_boxes_d = denormalize_boxes(
+                np.asarray(batch.dec.boxes, np.float32).reshape(
+                    -1, batch.dec.boxes.shape[-1]),
+                mean=self.box_mean, std=self.box_std)
+            gt_angles = np.asarray(batch.dec.angles).reshape(-1)
             gt_m, gt_c = [], []
             for k in range(min(len(gt_slots), self.max_shapes)):
                 if float(np.asarray(batch.shapes.mask)[k]) == 0:
@@ -195,8 +203,8 @@ class SampleVisualizer:
                     continue
                 slot = int(gt_slots[k])
                 vv = fit_vertices_to_box(
-                    vv, boxes_d[slot],
-                    angle_deg=angle_bin_to_degrees(int(angles[slot])))
+                    vv, gt_boxes_d[slot],
+                    angle_deg=angle_bin_to_degrees(int(gt_angles[slot])))
                 gt_m.append((vv, ff))
                 gt_c.append(int(objs_flat[slot]))
             if gt_m:

@@ -74,3 +74,23 @@ def test_compute_all_metrics_smoke(rng):
     res = compute_all_metrics(sample, ref, use_emd=True, use_pallas=False)
     for k in ("mmd_cd", "cov_cd", "1nn_acc_cd", "mmd_emd", "cov_emd"):
         assert k in res and np.isfinite(res[k])
+
+
+def test_marching_tets_consistent_outward_winding():
+    """Every emitted face must wind CCW seen from outside (glTF/OBJ viewers
+    backface-cull; signed-volume consumers need it): sphere SDF → all
+    normals outward and signed volume ≈ 4/3·pi·r³."""
+    R = 32
+    g = np.linspace(-0.5, 0.5, R)
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    sdf = np.sqrt(X ** 2 + Y ** 2 + Z ** 2) - 0.3
+    v, f = marching_tetrahedra(sdf, level=0.0)
+    tri = v[f]
+    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    outward = np.einsum("fi,fi->f", n, tri.mean(1))
+    assert (outward > 0).all(), \
+        f"{(outward <= 0).sum()} of {len(f)} faces wind inward"
+    vol = np.einsum("fi,fi->f", np.cross(tri[:, 0], tri[:, 1]),
+                    tri[:, 2]).sum() / 6.0
+    true = 4.0 / 3.0 * np.pi * 0.3 ** 3
+    np.testing.assert_allclose(vol, true, rtol=0.02)

@@ -156,26 +156,31 @@ def test_graph_triple_conv_net_parity(pooling, residual, output_dim):
 # ---------------------------------------------------------------------------
 
 
-def _torch_vqvae():
+def _torch_vqvae(attn_resolutions=()):
     from model.networks.vqvae_networks.network import VQVAE
     ddconfig = dict(double_z=False, z_channels=3, resolution=16,
                     in_channels=1, out_ch=1, ch=8, ch_mult=[1, 2],
-                    num_res_blocks=1, attn_resolutions=[], dropout=0.0)
+                    num_res_blocks=1,
+                    attn_resolutions=list(attn_resolutions), dropout=0.0)
     torch.manual_seed(0)
     return VQVAE(ddconfig, n_embed=32, embed_dim=3).eval()
 
 
-def _jax_vqvae():
+def _jax_vqvae(attn_resolutions=()):
     from commonscenes_tpu.core.config import VQVAEConfig
     from commonscenes_tpu.nn.vqvae3d import VQVAE3D
     cfg = VQVAEConfig(embed_dim=3, n_embed=32, z_channels=3, resolution=16,
-                      ch=8, ch_mult=(1, 2), num_res_blocks=1)
+                      ch=8, ch_mult=(1, 2), num_res_blocks=1,
+                      attn_resolutions=tuple(attn_resolutions))
     return VQVAE3D(cfg)
 
 
-def test_vqvae_parity():
-    tvq = _torch_vqvae()
-    jvq = _jax_vqvae()
+@pytest.mark.parametrize("attn_res", [(), (8,)])
+def test_vqvae_parity(attn_res):
+    # attn_res=(8,) exercises the per-level attention blocks
+    # (vqvae_modules.py:225-227) and their importer mapping
+    tvq = _torch_vqvae(attn_res)
+    jvq = _jax_vqvae(attn_res)
 
     x = (np.random.RandomState(3).rand(2, 16, 16, 16, 1)
          .astype(np.float32) * 0.4 - 0.2)
@@ -736,3 +741,33 @@ def test_v2full_layout_encoder_decoder_parity(layout_pair):
                                rtol=RTOL, atol=ATOL)
     np.testing.assert_allclose(np.asarray(ang), t2n(ref_ang),
                                rtol=RTOL, atol=ATOL)
+
+
+def test_masked_bn_running_stats_match_torch_update():
+    """The running-VAR update must store torch's UNBIASED estimate
+    (BatchNorm1d semantics), for full and masked batches."""
+    from commonscenes_tpu.nn.mlp import MaskedBatchNorm
+
+    x = np.random.RandomState(2).randn(9, 6).astype(np.float32)
+
+    tbn = torch.nn.BatchNorm1d(6, momentum=0.1).train()
+    tbn(torch.from_numpy(x))
+
+    m = MaskedBatchNorm(momentum=0.9)   # ours: ra = mom*ra + (1-mom)*new
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    _, ups = m.apply(variables, jnp.asarray(x), train=True,
+                     mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(ups["batch_stats"]["var"]),
+                               t2n(tbn.running_var), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ups["batch_stats"]["mean"]),
+                               t2n(tbn.running_mean), rtol=1e-5)
+
+    # masked batch == torch on just the valid rows
+    n_valid = 5
+    tbn2 = torch.nn.BatchNorm1d(6, momentum=0.1).train()
+    tbn2(torch.from_numpy(x[:n_valid]))
+    mask = jnp.asarray((np.arange(9) < n_valid).astype(np.float32))
+    _, ups2 = m.apply(variables, jnp.asarray(x), mask=mask, train=True,
+                      mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(ups2["batch_stats"]["var"]),
+                               t2n(tbn2.running_var), rtol=1e-5)
