@@ -56,8 +56,9 @@ def main():
     vocab = Vocab.synthetic()
     cfg = FullConfig()  # full reference operating point (224ch UNet, 64^3 VQVAE)
     if os.environ.get("BENCH_UNET_REMAT", "1") == "0":
-        cfg = cfg.replace(unet=cfg.unet.__class__(
-            **{**cfg.unet.__dict__, "use_checkpoint": False}))
+        import dataclasses
+        cfg = cfg.replace(unet=dataclasses.replace(cfg.unet,
+                                                   use_checkpoint=False))
     objs_per_scene = 8
     scenes_per_batch = int(os.environ.get("BENCH_SCENES", "1"))
     cfg = cfg.replace(batch=cfg.batch.__class__(
@@ -103,11 +104,7 @@ def main():
 
     jitted = jax.jit(sample_fn)
 
-    # compile + analytic FLOPs (the axon plugin's cost_analysis
-    # under-reports fused programs; see commonscenes_tpu/utils/flops.py)
     print("compiling sample fn...", file=sys.stderr, flush=True)
-    jitted.lower(variables, batch.dec, jax.random.PRNGKey(1)).compile()
-    print("compile done", file=sys.stderr, flush=True)
     from commonscenes_tpu.utils.flops import sample_flops
     # naive-CFG count = the reference's program (baseline denominator);
     # dedup count = FLOPs actually executed (MFU numerator)
@@ -134,9 +131,12 @@ def main():
         # host read make the timing honest
         return float(np.asarray(jnp.sum(out[2][..., -1, 0])))
 
-    # warmup
+    # warmup call does the trace+compile (an explicit AOT
+    # .lower().compile() would NOT seed jax.jit's dispatch cache — the
+    # warmup would re-trace the whole 100-step program a second time)
     out = jitted(variables, batch.dec, jax.random.PRNGKey(1))
     fetch(out)
+    print("compile done", file=sys.stderr, flush=True)
 
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     t0 = time.perf_counter()
@@ -200,13 +200,20 @@ def main():
             collate(scenes_t, vocab, cfg_t.batch, rng, with_shapes=True))
         print(f"compiling train step (B={train_batch})...", file=sys.stderr,
               flush=True)
+        def fetch_state(st):
+            # the fetched scalar must depend on the LAST-produced buffers
+            # (the updated params), not an upstream loss metric — see
+            # fetch(): readiness can be acked before the update tail runs
+            leaf = jax.tree.leaves(st.gen_params)[-1]
+            return float(np.asarray(jnp.sum(leaf.astype(jnp.float32))))
+
         state = trainer.init_state(jax.random.PRNGKey(0), tb)
         state, m = trainer.train_step(state, tb, jax.random.PRNGKey(99))
-        _ = float(m["total"])           # honest host fetch (see fetch())
+        fetch_state(state)
         t0 = time.perf_counter()
         for i in range(5):
             state, m = trainer.train_step(state, tb, jax.random.PRNGKey(i))
-            _ = float(m["total"])
+            fetch_state(state)
         train_scenes_per_sec = 5 * train_batch / (time.perf_counter() - t0)
 
     baseline_scenes_per_sec = A100_EFFECTIVE_FLOPS / (flops / scenes_per_batch)

@@ -51,9 +51,15 @@ BASE_ENV = {
 
 PROBE = (
     "import jax, jax.numpy as jnp;"
+    "assert jax.devices()[0].platform != 'cpu', jax.devices();"
     "x = jnp.ones((256, 256), jnp.bfloat16);"
     "print('probe ok', float((x @ x).sum()))"
 )
+
+# every knob any cell touches — cleared from the ambient env before a cell's
+# own knobs apply, so 'default' really is the default and cells can't
+# contaminate each other through leftover exports
+ALL_KNOBS = sorted({k for knobs in MATRIX.values() for k in knobs})
 
 
 def git_head() -> str:
@@ -63,6 +69,10 @@ def git_head() -> str:
             text=True).strip()
     except Exception:
         return "unknown"
+
+
+def _key(head: str, name: str, knobs: dict) -> tuple:
+    return (head, name, json.dumps(knobs, sort_keys=True))
 
 
 def load_done() -> set:
@@ -75,7 +85,8 @@ def load_done() -> set:
                 except json.JSONDecodeError:
                     continue
                 if rec.get("value") is not None:
-                    done.add((rec.get("head"), rec.get("name")))
+                    done.add(_key(rec.get("head"), rec.get("name"),
+                                  rec.get("knobs", {})))
     return done
 
 
@@ -91,6 +102,8 @@ def tpu_alive(timeout: int = 90) -> bool:
 
 def run_one(name: str, knobs: dict, timeout: int) -> dict:
     env = dict(os.environ)
+    for k in ALL_KNOBS:          # cell isolation: no ambient knob leaks in
+        env.pop(k, None)
     env.update(BASE_ENV)
     env.update(knobs)
     t0 = time.time()
@@ -101,15 +114,18 @@ def run_one(name: str, knobs: dict, timeout: int) -> dict:
             [sys.executable, "bench.py"], cwd=ROOT, env=env,
             timeout=timeout, capture_output=True, text=True)
         rec["rc"] = out.returncode
+        rec["value"] = None
         for line in out.stdout.splitlines():
             line = line.strip()
             if line.startswith("{") and '"metric"' in line:
-                parsed = json.loads(line)
+                try:
+                    parsed = json.loads(line)
+                except json.JSONDecodeError:
+                    continue          # truncated/interleaved line: keep looking
                 rec["value"] = parsed.get("value")
                 rec["extra"] = parsed.get("extra", {})
                 break
-        else:
-            rec["value"] = None
+        if rec["value"] is None:
             rec["tail"] = (out.stdout + out.stderr)[-2000:]
     except subprocess.TimeoutExpired:
         rec["rc"] = -1
@@ -136,7 +152,9 @@ def main():
             print(f"{k:24s} {v}")
         return
 
-    names = args.only or list(MATRIX)
+    if args.only is not None and not args.only:
+        sys.exit("--only given with no config names; see --list")
+    names = args.only if args.only is not None else list(MATRIX)
     unknown = [n for n in names if n not in MATRIX]
     if unknown:
         sys.exit(f"unknown configs: {unknown}; see --list")
@@ -153,7 +171,7 @@ def main():
     head = git_head()
     done = set() if args.force else load_done()
     for name in names:
-        if (head, name) in done:
+        if _key(head, name, MATRIX[name]) in done:
             print(f"[skip] {name} already measured at {head}", flush=True)
             continue
         print(f"[run ] {name} {MATRIX[name]}", flush=True)
