@@ -201,11 +201,15 @@ def main():
         print(f"compiling train step (B={train_batch})...", file=sys.stderr,
               flush=True)
         def fetch_state(st):
-            # the fetched scalar must depend on the LAST-produced buffers
-            # (the updated params), not an upstream loss metric — see
-            # fetch(): readiness can be acked before the update tail runs
-            leaf = jax.tree.leaves(st.gen_params)[-1]
-            return float(np.asarray(jnp.sum(leaf.astype(jnp.float32))))
+            # the fetched scalar must depend on the LAST-produced buffers —
+            # the DISCRIMINATOR update runs after the generator one in
+            # train_step, so fetch a leaf of each; an upstream loss metric
+            # (or gen-only leaf) could ack before the disc tail runs
+            leaves = [jax.tree.leaves(st.gen_params)[-1]]
+            if jax.tree.leaves(st.disc_params):
+                leaves.append(jax.tree.leaves(st.disc_params)[-1])
+            return float(sum(np.asarray(jnp.sum(l.astype(jnp.float32)))
+                             for l in leaves))
 
         state = trainer.init_state(jax.random.PRNGKey(0), tb)
         state, m = trainer.train_step(state, tb, jax.random.PRNGKey(99))

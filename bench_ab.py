@@ -56,10 +56,9 @@ PROBE = (
     "print('probe ok', float((x @ x).sum()))"
 )
 
-# every knob any cell touches — cleared from the ambient env before a cell's
-# own knobs apply, so 'default' really is the default and cells can't
-# contaminate each other through leftover exports
-ALL_KNOBS = sorted({k for knobs in MATRIX.values() for k in knobs})
+# bench-geometry knobs that must not leak from the ambient shell either
+# (every COMMONSCENES_* var is cleared by prefix in run_one)
+_GEOMETRY_KNOBS = ("BENCH_UNET_REMAT", "BENCH_DDIM_STEPS", "BENCH_SCENES")
 
 
 def git_head() -> str:
@@ -102,8 +101,12 @@ def tpu_alive(timeout: int = 90) -> bool:
 
 def run_one(name: str, knobs: dict, timeout: int) -> dict:
     env = dict(os.environ)
-    for k in ALL_KNOBS:          # cell isolation: no ambient knob leaks in
-        env.pop(k, None)
+    # cell isolation: no ambient knob leaks in — clear EVERY model knob by
+    # prefix (17+ COMMONSCENES_* vars exist, not just the matrix's five)
+    # plus the bench geometry overrides
+    for k in list(env):
+        if k.startswith("COMMONSCENES_") or k in _GEOMETRY_KNOBS:
+            env.pop(k)
     env.update(BASE_ENV)
     env.update(knobs)
     t0 = time.time()
@@ -184,7 +187,8 @@ def main():
             print("run timed out — tunnel likely wedged; stopping", flush=True)
             break
 
-    # summary table
+    # summary table — only records whose knobs match the CURRENT matrix
+    # definition (a same-name cell with edited knobs must not shadow it)
     print("\n=== results at", head, "===")
     if os.path.exists(RESULTS):
         best = {}
@@ -194,8 +198,11 @@ def main():
                     rec = json.loads(line)
                 except json.JSONDecodeError:
                     continue
-                if rec.get("head") == head and rec.get("value") is not None:
-                    best[rec["name"]] = rec["value"]
+                name = rec.get("name")
+                if (rec.get("head") == head and rec.get("value") is not None
+                        and name in MATRIX
+                        and rec.get("knobs", {}) == MATRIX[name]):
+                    best[name] = rec["value"]
         for name, val in sorted(best.items(), key=lambda kv: -kv[1]):
             print(f"{name:24s} {val:.4f} scenes/s")
 
