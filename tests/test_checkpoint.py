@@ -116,8 +116,13 @@ def test_torch_vqvae_import_shapes():
     w_torch = np.asarray(sd["encoder.conv_in.weight"])
     w_jax = params["encoder"]["conv_in"]["kernel"]
     assert w_jax.shape == (3, 3, 3, 1, 4)
-    np.testing.assert_allclose(w_jax[..., 0, 2],
-                               w_torch[2, 0].transpose(0, 1, 2), rtol=1e-6)
+    # torch layout [Cout, Cin, D, H, W] → jax [D, H, W, Cin, Cout]: the
+    # spatial block for (cin=0, cout=2) must carry over UNpermuted
+    np.testing.assert_allclose(w_jax[..., 0, 2], w_torch[2, 0], rtol=1e-6)
+    # and a transposed comparison must NOT match for an asymmetric kernel
+    if not np.allclose(w_torch[2, 0], w_torch[2, 0].transpose(2, 1, 0)):
+        assert not np.allclose(w_jax[..., 0, 2],
+                               w_torch[2, 0].transpose(2, 1, 0))
     # embedding shift: stored = torch + 1/n so apply-time −1/n recovers it
     np.testing.assert_allclose(
         params["quantize"]["embedding"] - 1.0 / 16,

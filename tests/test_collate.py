@@ -49,7 +49,6 @@ def test_addition_mode_hides_node():
 
 def test_relationship_mode_changes_predicate():
     scenes, rng = make_scenes(seed=2)
-    dec_before = [s.triples.copy() for s in scenes]
     batch = collate(scenes, VOCAB, CFG, rng,
                     manipulation_modes=("relationship",))
     changed = np.asarray(batch.node_changed)

@@ -44,11 +44,13 @@ def test_conv3d_module_param_layout(rng):
     import flax.linen as nn
     ref = nn.Conv(5, kernel_size=(3, 3, 3), padding=1)
     vr = ref.init(jax.random.PRNGKey(0), x)
-    # identical param trees → checkpoints interchange
-    got = m.apply({"params": vr["params"]}, jnp.asarray(
-        rng.randn(1, 4, 4, 4, 2).astype(np.float32)))
-    want = ref.apply(vr, jnp.asarray(rng.randn(1, 4, 4, 4, 2).astype(np.float32)))
-    assert got.shape == want.shape
+    # identical param trees → checkpoints interchange: the SAME input
+    # through both modules must give the same values, not just shapes
+    xin = jnp.asarray(rng.randn(1, 4, 4, 4, 2).astype(np.float32))
+    got = m.apply({"params": vr["params"]}, xin)
+    want = ref.apply(vr, xin)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_conv3d_gradients(rng):

@@ -66,11 +66,19 @@ def test_vocab_inverse():
     assert PREDICATES[0] == "in"
 
 
-def test_native_fallback_matches_lib(rng):
-    """Whether or not the .so is present, results must match numpy."""
+def test_native_fallback_matches_lib(rng, monkeypatch):
+    """BOTH paths must match numpy: the active one (native .so when
+    present) and the pure-python fallback, forced via monkeypatch."""
     src = rng.randn(2, 4, 4, 4).astype(np.float32)
     sel = np.array([1, -1, 0], np.int32)
-    out = native.clamp_pad_sdf(src, sel, 3, 0.1)
-    np.testing.assert_allclose(out[0, ..., 0], np.clip(src[1], -0.1, 0.1))
-    assert np.all(out[1] == 0)
-    np.testing.assert_allclose(out[2, ..., 0], np.clip(src[0], -0.1, 0.1))
+
+    def check(out):
+        np.testing.assert_allclose(out[0, ..., 0],
+                                   np.clip(src[1], -0.1, 0.1))
+        assert np.all(out[1] == 0)
+        np.testing.assert_allclose(out[2, ..., 0],
+                                   np.clip(src[0], -0.1, 0.1))
+
+    check(native.clamp_pad_sdf(src, sel, 3, 0.1))
+    monkeypatch.setattr(native, "load_library", lambda: None)
+    check(native.clamp_pad_sdf(src, sel, 3, 0.1))

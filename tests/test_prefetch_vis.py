@@ -53,11 +53,16 @@ def test_prefetcher_overlaps_production():
         return i
 
     pf = BatchPrefetcher(slow_make, num_steps=4, depth=2)
-    time.sleep(0.2)                  # producer should have filled the queue
+    time.sleep(0.5)                  # producer should have filled the queue
     t0 = time.time()
-    first = next(iter(pf))
-    assert first == 0
-    assert time.time() - t0 < 0.04   # came from the queue, not a fresh build
+    it = iter(pf)
+    first = next(it)
+    second = next(it)
+    dt = time.time() - t0
+    assert (first, second) == (0, 1)
+    # two queue pops must beat two fresh 50 ms builds by a wide margin —
+    # loose enough to survive scheduler noise on the loaded 1-core host
+    assert dt < 0.09, f"prefetcher did not overlap production ({dt:.3f}s)"
 
 
 def test_sample_visualizer_writes_png(tmp_path):

@@ -73,17 +73,15 @@ def test_sgfront_reader(sgfront_root):
 
 
 def test_sgfront_with_scene_root(sgfront_root):
-    # add _scene_ to the mapping so the root class exists
-    import json as _json
-    with open(os.path.join(sgfront_root, "mapping.json")) as f:
-        m = _json.load(f)
     from commonscenes_tpu.data.sgfront import SGFrontDataset
     ds = SGFrontDataset(sgfront_root, split="train", room_type="bedroom",
                         shuffle_objs=False, with_clip=False)
-    if "_scene_" in ds.vocab.class_to_idx:
-        scene = ds[0]
-        assert (scene.objs == ds.vocab.scene_class_id).sum() == 1
-        assert (scene.triples[:, 1] == 0).sum() == 3  # 'in' edges
+    # the vocab must ALWAYS carry the root class (Vocab.from_sgfront adds
+    # '_scene_' unconditionally) — guard-as-if made this test vacuous
+    assert "_scene_" in ds.vocab.class_to_idx
+    scene = ds[0]
+    assert (scene.objs == ds.vocab.scene_class_id).sum() == 1
+    assert (scene.triples[:, 1] == 0).sum() == 3  # 'in' edges
 
 
 def test_rscan_reader(tmp_path):
@@ -262,11 +260,24 @@ def test_partition_vertices_native_matches_numpy():
     for i, iid in enumerate(inst):
         got = np.sort(idx[off[i]:off[i + 1]])
         np.testing.assert_array_equal(got, np.where(vert_ids == iid)[0])
-    if dk.load_library() is not None:   # fallback agrees with native
-        parts = [np.where(vert_ids == i)[0] for i in inst]
-        ref_off = np.zeros(len(inst) + 1, np.int64)
-        ref_off[1:] = np.cumsum([len(p) for p in parts])
-        np.testing.assert_array_equal(off, ref_off)
+
+
+def test_partition_vertices_fallback_matches_native(monkeypatch):
+    """Force the pure-python fallback (as on .so-less deployments) and
+    check it against the same oracle the active path was checked with."""
+    from commonscenes_tpu.data import native as dk
+    monkeypatch.setattr(dk, "load_library", lambda: None)
+    rs = np.random.RandomState(1)
+    vert_ids = rs.randint(0, 9, 3000).astype(np.int32)
+    inst = np.array([3, 7, 11, 0], np.int32)   # 11 matches nothing
+    idx, off = dk.partition_vertices(vert_ids, inst)
+    assert off[0] == 0 and off[-1] == len(idx)
+    for i, iid in enumerate(inst):
+        np.testing.assert_array_equal(np.sort(idx[off[i]:off[i + 1]]),
+                                      np.where(vert_ids == iid)[0])
+    # empty input: no crash, all-zero offsets
+    idx0, off0 = dk.partition_vertices(np.zeros(0, np.int32), inst)
+    assert len(idx0) == 0 and off0[-1] == 0
 
 
 def test_rscan_angle_bins_clamped(tmp_path):

@@ -65,7 +65,6 @@ def test_train_step_runs_and_updates(setup):
         assert np.isfinite(float(v)), f"metric {k} not finite"
     assert int(new_state.step) == 1
     # generator params changed
-    before = jax.tree.leaves(state.gen_params)[0] if False else None
     diffs = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
                          state.gen_params, new_state.gen_params)
     assert max(jax.tree.leaves(diffs)) > 0

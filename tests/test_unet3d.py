@@ -117,13 +117,12 @@ def test_cfg_pair_matches_naive_doubled_batch():
                                rtol=1e-5, atol=1e-6)
 
     # the decoder skip-split (context-free skip halves computed once at K)
-    # must agree with its tiled fallback
+    # must agree with its tiled fallback — patch the env var so any
+    # pre-existing export is restored afterwards (a bare del clobbered it)
+    from unittest import mock
     import os
-    os.environ["COMMONSCENES_SKIP_SPLIT"] = "0"
-    try:
+    with mock.patch.dict(os.environ, {"COMMONSCENES_SKIP_SPLIT": "0"}):
         nosplit = m.apply(v, x, t, c_full, cfg_pair=True)
-    finally:
-        del os.environ["COMMONSCENES_SKIP_SPLIT"]
     np.testing.assert_allclose(np.asarray(dedup), np.asarray(nosplit),
                                rtol=1e-5, atol=1e-6)
 
