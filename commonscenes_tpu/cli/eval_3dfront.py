@@ -140,6 +140,17 @@ def _export_scene(export_dir, scene, vocab, b, bi, boxes_d, angles_row,
             export_glb(os.path.join(export_dir,
                                     f"{scene.scan_id}_retrieval.glb"),
                        meshes, mnames, colors=cols)
+            # per-object OBJs with the reference's naming convention
+            # {label}_{cat_id}_{instance_id}.obj (helpers/util.py:119)
+            obj_dir = os.path.join(export_dir, f"{scene.scan_id}_objects")
+            inst = 1
+            for r in recs:
+                if "mesh" not in r:
+                    continue
+                export_obj(os.path.join(
+                    obj_dir, f"{r['class']}_{sel[r['slot']]}_{inst}.obj"),
+                    [r["mesh"]], [r["class"]])
+                inst += 1
     if sdfs is not None and slot_rows is not None and len(slot_rows):
         from commonscenes_tpu.eval.scene_export import (
             DEFAULT_PALETTE, angle_bin_to_degrees, export_glb, export_obj,

@@ -101,6 +101,11 @@ def test_eval_cli_box_retrieval_export(tmp_path):
     assert glbs, "no retrieved-mesh GLB scenes written"
     raw = open(os.path.join(out, glbs[0]), "rb").read()
     assert raw[:4] == b"glTF"
+    # per-object OBJs, reference naming {label}_{cat}_{inst}.obj
+    obj_dirs = [d for d in os.listdir(out) if d.endswith("_objects")]
+    assert obj_dirs, "no per-object export directory"
+    per_obj = os.listdir(os.path.join(out, obj_dirs[0]))
+    assert per_obj and all(f.endswith(".obj") for f in per_obj)
     for rec in layouts:
         assert "retrieved_boxmesh" in rec
         assert any(v is not None for v in rec["retrieved_boxmesh"].values())
