@@ -1,6 +1,8 @@
 """Offline dataset statistics (reference dataset/analyse.py:23-203):
 relationship-frequency and class-frequency tables for an SG-FRONT root (or
-the synthetic generator), printed as text and saved as JSON.
+the synthetic generator), printed as text and saved as JSON; ``--charts``
+additionally renders the reference's horizontal bar charts
+(prepare_rel_chart, analyse.py:157-203 — log-scale x for class counts).
 """
 
 from __future__ import annotations
@@ -18,6 +20,9 @@ def main(argv=None):
     p.add_argument("--room_type", default="bedroom")
     p.add_argument("--num_scenes", type=int, default=64)
     p.add_argument("--out", default="")
+    p.add_argument("--charts", default="",
+                   help="directory for relationship/class frequency bar "
+                        "charts (reference analyse.py figures)")
     args = p.parse_args(argv)
 
     from commonscenes_tpu.data.vocab import Vocab
@@ -57,7 +62,36 @@ def main(argv=None):
         os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
         with open(args.out, "w") as f:
             json.dump(stats, f, indent=2)
+    if args.charts:
+        _bar_chart(rel_counts, "Relationship frequencies",
+                   os.path.join(args.charts, "relationships.png"))
+        _bar_chart(cls_counts, "Class frequencies",
+                   os.path.join(args.charts, "classes.png"), log=True)
+        print(f"[*] charts written to {args.charts}")
     return stats
+
+
+def _bar_chart(counts, title: str, path: str, log: bool = False) -> None:
+    """Horizontal frequency bar chart (reference prepare_rel_chart,
+    dataset/analyse.py:157-203; log-scale x for the long-tailed class
+    histogram, analyse.py:129)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    items = counts.most_common()
+    labels = [k for k, _ in items][::-1]
+    values = [v for _, v in items][::-1]
+    fig, ax = plt.subplots(figsize=(8, max(3, 0.3 * len(labels))))
+    ax.barh(labels, values)
+    if log:
+        ax.set_xscale("log")
+    ax.set_title(title)
+    ax.set_xlabel("count")
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
 
 
 if __name__ == "__main__":

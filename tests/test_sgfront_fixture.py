@@ -227,9 +227,13 @@ def test_reader_test_split(sgfront_root):
 def test_analyse_dataset_on_fixture(sgfront_root, tmp_path):
     from commonscenes_tpu.cli.analyse_dataset import main
     out = str(tmp_path / "stats.json")
+    charts = str(tmp_path / "charts")
     stats = main(["--dataset", sgfront_root, "--room_type", "bedroom",
-                  "--num_scenes", "4", "--out", out])
+                  "--num_scenes", "4", "--out", out, "--charts", charts])
     assert os.path.exists(out)
+    for fn in ("relationships.png", "classes.png"):
+        raw = open(os.path.join(charts, fn), "rb").read()
+        assert raw[:8] == b"\x89PNG\r\n\x1a\n" and len(raw) > 1000
     assert stats["relationship_frequencies"]["in"] == 4
     assert stats["relationship_frequencies"]["left"] == 1
     assert stats["class_frequencies"]["bed"] == 1
