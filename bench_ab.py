@@ -39,6 +39,8 @@ MATRIX = {
                             "COMMONSCENES_FUSED_GN": "0"},
     "winograd_f2_gn0": {"COMMONSCENES_CONV_WINO": "f2",
                         "COMMONSCENES_FUSED_GN": "0"},
+    "winograd_f2_minhw65": {"COMMONSCENES_CONV_WINO": "f2",
+                            "COMMONSCENES_WINO_MIN_HW": "65"},
     "ffn_rows": {"COMMONSCENES_FFN_KERNEL": "rows"},
     "skip_split_off": {"COMMONSCENES_SKIP_SPLIT": "0"},
 }
