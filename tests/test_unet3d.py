@@ -176,3 +176,43 @@ def test_flops_accounting_dedup_and_split():
                 + save(vox, mc, 210, mc)             # L0 first (span)
                 + 2 * save(vox, mc, mc, mc)) * (2 * K)  # L0 aligned ×2
     np.testing.assert_allclose(dedup_nosplit - dedup, expected, rtol=1e-9)
+
+
+def test_unet_winograd_matches_direct():
+    """Whole-UNet parity for the Winograd conv lowering, through the real
+    dispatch (incl. the skip-split res blocks' channel-sliced convs and the
+    inference-scope/cfg-pair paths) — op-level parity tests can't catch a
+    wrong dispatch inside the split blocks."""
+    import os
+    from unittest import mock
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from commonscenes_tpu.core.config import UNetConfig
+    from commonscenes_tpu.nn.unet3d import UNet3D
+
+    cfg = UNetConfig(image_size=8, in_channels=3, out_channels=3,
+                     model_channels=32, num_res_blocks=1,
+                     attention_resolutions=(2,), channel_mult=(1, 2),
+                     num_heads=4, context_dim=16, use_checkpoint=False)
+    m = UNet3D(cfg)
+    rng = np.random.RandomState(1)
+    K = 2
+    x = jnp.asarray(rng.randn(K, 8, 8, 8, 3), jnp.float32)
+    t = jnp.asarray([5, 9], jnp.int32)
+    c_full = jnp.asarray(rng.randn(2 * K, 2, 16), jnp.float32)
+
+    v = m.init(jax.random.PRNGKey(0), x, t, c_full[K:])
+    base = m.apply(v, x, t, c_full, cfg_pair=True, inference=True)
+    # XLA f2 variants only: the fused Pallas kernel has its own op-level
+    # parity suite, and its interpret-mode run over a whole UNet costs
+    # minutes on the 1-core host
+    for knobs in ({"COMMONSCENES_CONV_WINO": "f2"},
+                  {"COMMONSCENES_CONV_WINO": "f2",
+                   "COMMONSCENES_CONV_WINO_SCOPE": "inference"}):
+        with mock.patch.dict(os.environ, knobs):
+            got = m.apply(v, x, t, c_full, cfg_pair=True, inference=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                                   rtol=2e-3, atol=2e-3,
+                                   err_msg=str(knobs))
