@@ -145,3 +145,50 @@ def test_dp_train_step_matches_single_device():
         np.testing.assert_allclose(float(metrics_single[k]),
                                    float(metrics_dp[k]), rtol=5e-3, atol=1e-4,
                                    err_msg=f"metric {k} differs under DP")
+
+
+def test_dp_v1full_step_matches_single_device():
+    """v1_full data-parallel step parity: generator + shape-aux + box-D
+    updates over 8 sharded scenes must match the replicated single-device
+    step (same batch, same rng) — v1's GAN wiring has no other multi-device
+    coverage."""
+    from commonscenes_tpu.core.config import (BatchConfig, FullConfig,
+                                              TrainConfig)
+    from commonscenes_tpu.data.collate import collate
+    from commonscenes_tpu.data.synthetic import make_scene
+    from commonscenes_tpu.data.vocab import Vocab
+    from commonscenes_tpu.models.v1_full import V1FullVAE
+    from commonscenes_tpu.train.step_v1full import V1FullTrainer
+
+    vocab = Vocab.synthetic()
+    bcfg = BatchConfig(batch_size=8, max_objs=8, max_triples=32)
+    cfg = FullConfig(network_type="v1_full", batch=bcfg, train=TrainConfig())
+    model = V1FullVAE(num_obj_classes=vocab.num_obj_classes,
+                      num_pred_classes=vocab.num_pred_classes,
+                      embedding_dim=16, gconv_num_layers=1,
+                      gconv_num_shared_layers=1, shape_input_dim=32)
+    trainer = V1FullTrainer(cfg, model, vocab.num_obj_classes,
+                            vocab.num_pred_classes)
+    rng = np.random.RandomState(3)
+    scenes = [make_scene(vocab, rng, num_objs=5, with_clip=False)
+              for _ in range(8)]
+    batch = collate(scenes, vocab, bcfg, rng, use_clip=False,
+                    manipulation_modes=("relationship",))
+    shapes_gt = jnp.asarray(rng.randn(8 * 8, 32).astype(np.float32))
+
+    state = trainer.init_state(jax.random.PRNGKey(0), batch, shapes_gt)
+    _, m_single = trainer.train_step(state, batch, shapes_gt,
+                                     jax.random.PRNGKey(1))
+
+    mesh = make_mesh(8)
+    with mesh:
+        state_r = replicate_tree(mesh, state)
+        batch_s = shard_batch(mesh, batch)
+        shapes_s = jax.device_put(shapes_gt, batch_sharding(mesh))
+        _, m_dp = trainer.train_step(state_r, batch_s, shapes_s,
+                                     jax.random.PRNGKey(1))
+
+    for k in m_single:
+        np.testing.assert_allclose(float(m_single[k]), float(m_dp[k]),
+                                   rtol=5e-3, atol=1e-4,
+                                   err_msg=f"metric {k} differs under DP")
