@@ -74,16 +74,22 @@ def main(argv=None):
 
     import jax.numpy as jnp
 
-    from commonscenes_tpu.eval.diversity import sdf_batch_to_point_clouds
     from commonscenes_tpu.eval.mmd_cov_1nn import (compute_all_metrics,
                                                    jsd_between_point_cloud_sets)
+    from commonscenes_tpu.ops.mesh import sdf_to_vertex_cloud
 
     sample = load_sdf_dir(args.path_sample)
     ref = load_sdf_dir(args.path_ref)
 
     def clouds(grids):
-        return sdf_batch_to_point_clouds(grids[:args.max_per_category],
-                                         n_points=args.n_points)
+        # the reference driver reseeds np.random per cloud (sample_pc,
+        # compute_mmd_cov_1nn.py:372-380) and mean-centers / max-abs-scales
+        # each cloud to [-1, 1] (normalization, :395-401)
+        return np.stack([
+            sdf_to_vertex_cloud(np.asarray(g), args.n_points,
+                                rng=np.random.RandomState(42),
+                                normalize="mean_maxabs")
+            for g in grids[:args.max_per_category]])
 
     results = {}
     cats = sorted(set(sample) & set(ref)) if args.per_category else [None]
@@ -102,8 +108,10 @@ def main(argv=None):
         key = f"cat_{c}" if c is not None else "all"
         results[key] = {k: round(float(v), 6) for k, v in res.items()}
 
+    # JSD's occupancy grid lives in the unit sphere (latent_3d_points
+    # protocol); the [-1,1]-normalized clouds scale down by 0.5 first
     results["jsd"] = round(jsd_between_point_cloud_sets(
-        np.concatenate(all_s), np.concatenate(all_r)), 6)
+        0.5 * np.concatenate(all_s), 0.5 * np.concatenate(all_r)), 6)
     print(json.dumps(results))
     return results
 

@@ -21,7 +21,7 @@ import numpy as np
 from commonscenes_tpu.eval.fid import random_patch_features
 from commonscenes_tpu.eval.scene_export import render_topdown
 from commonscenes_tpu.ops.chamfer import chamfer_distance
-from commonscenes_tpu.ops.mesh import sdf_to_point_cloud
+from commonscenes_tpu.ops.mesh import sdf_to_point_cloud, sdf_to_vertex_cloud
 
 CONSISTENCY_PREDICATES = ("same style as", "same material as",
                           "same super category as")
@@ -80,8 +80,13 @@ def consistency_scores(sdfs: np.ndarray, triples: np.ndarray,
     feats = object_appearance_features(sdfs)
     feats = feats / (np.linalg.norm(feats, axis=1, keepdims=True) + 1e-9)
 
-    clouds = np.stack([sdf_to_point_cloud(np.asarray(sdfs[k]), n_points,
-                                          rng=np.random.RandomState(k))
+    # the reference chamfer compares RAW canonical-frame mesh vertices —
+    # no normalization, torch.manual_seed(47) re-seeded per object
+    # (consistency_check.py:68-79); object_meshes are exported before the
+    # box fit (util.py:317 vs :320) so both live in the [-0.5,0.5] frame
+    clouds = np.stack([sdf_to_vertex_cloud(np.asarray(sdfs[k]), n_points,
+                                           rng=np.random.RandomState(47),
+                                           normalize=None)
                        for k in range(sdfs.shape[0])])
     s_idx = np.asarray([p[0] for p in pairs])
     o_idx = np.asarray([p[1] for p in pairs])

@@ -16,18 +16,23 @@ import jax.numpy as jnp
 import numpy as np
 
 from commonscenes_tpu.ops.chamfer import chamfer_distance
-from commonscenes_tpu.ops.mesh import sdf_to_point_cloud
+from commonscenes_tpu.ops.mesh import sdf_to_vertex_cloud
 
 
 def sdf_batch_to_point_clouds(sdfs: np.ndarray, n_points: int = 5000,
-                              level: float = 0.018,
-                              seed: int = 0) -> np.ndarray:
-    """[K, R, R, R(,1)] SDF grids → [K, n_points, 3] normalized clouds."""
+                              level: float = 0.018, seed: int = 0,
+                              normalize: str | None = "bbox_axis"
+                              ) -> np.ndarray:
+    """[K, R, R, R(,1)] SDF grids → [K, n_points, 3] normalized clouds.
+
+    Protocol-exact: resampled mesh VERTICES (eval_3dfront.py:598-616),
+    bbox-centered and stretched per axis to [-1, 1] (``normalize``,
+    eval_3dfront.py:783-796)."""
     rng = np.random.RandomState(seed)
     out = []
     for k in range(sdfs.shape[0]):
-        out.append(sdf_to_point_cloud(np.asarray(sdfs[k]), n_points, level,
-                                      rng))
+        out.append(sdf_to_vertex_cloud(np.asarray(sdfs[k]), n_points, level,
+                                       rng, normalize=normalize))
     return np.stack(out)
 
 

@@ -1,9 +1,9 @@
 """Object-level fidelity metrics: MMD / Coverage / 1-NN accuracy (+ JSD).
 
-Capability parity with the PointFlow-protocol suite in reference
+Numeric parity with the PointFlow-protocol suite in reference
 scripts/compute_mmd_cov_1nn.py: pairwise CD/EMD matrices (:110-150),
 lgan_mmd_cov (:186-198), the 1-NN two-sample test (:154-183), and the
-voxel-occupancy JSD (:256-350).
+sphere-clipped occupancy-grid JSD (:232-350, latent_3d_points protocol).
 
 The pairwise distance matrices run on device via the Pallas/XLA chamfer and
 Sinkhorn EMD kernels; the final statistics are tiny and computed in numpy.
@@ -43,16 +43,21 @@ def mmd_cov(dist_matrix: np.ndarray) -> Dict[str, float]:
     cols = references."""
     d = np.asarray(dist_matrix)
     min_per_ref = d.min(axis=0)          # best sample for each reference
+    min_per_sample = d.min(axis=1)
     argmin_per_sample = d.argmin(axis=1)
     mmd = float(min_per_ref.mean())
     cov = float(len(np.unique(argmin_per_sample)) / d.shape[1])
-    return {"mmd": mmd, "cov": cov}
+    return {"mmd": mmd, "cov": cov,
+            "mmd_smp": float(min_per_sample.mean())}
 
 
 def knn_1nn_accuracy(dxx: np.ndarray, dxy: np.ndarray,
                      dyy: np.ndarray) -> Dict[str, float]:
     """Leave-one-out 1-NN two-sample test (compute_mmd_cov_1nn.py:154-183).
-    x = references, y = samples; 0.5 ≙ indistinguishable."""
+    x = references, y = samples; 0.5 ≙ indistinguishable. The overall
+    accuracy is count-weighted over all nx+ny points like the reference's
+    ``torch.eq(label, pred).float().mean()`` (:181), NOT the macro average
+    of the per-class accuracies."""
     nx, ny = dxx.shape[0], dyy.shape[0]
     big = 1e18
     top = np.block([[dxx + np.eye(nx) * big, dxy],
@@ -63,18 +68,20 @@ def knn_1nn_accuracy(dxx: np.ndarray, dxy: np.ndarray,
     acc_x = float((pred[:nx] == 1).mean())
     acc_y = float((pred[nx:] == 0).mean())
     return {"1nn_acc_real": acc_x, "1nn_acc_fake": acc_y,
-            "1nn_acc": float(0.5 * (acc_x + acc_y))}
+            "1nn_acc": float((pred == labels).mean())}
 
 
 def compute_all_metrics(sample_pcs: jax.Array, ref_pcs: jax.Array,
                         use_emd: bool = True,
                         use_pallas: bool = True) -> Dict[str, float]:
-    """Full PointFlow battery (compute_mmd_cov_1nn.py:201-229)."""
+    """Full PointFlow battery (compute_mmd_cov_1nn.py:201-229): MMD/COV +
+    1-NN for CD, and for EMD when ``use_emd``."""
     results: Dict[str, float] = {}
     d_sr = pairwise_cd_matrix(sample_pcs, ref_pcs, use_pallas)
     res = mmd_cov(d_sr)
     results["mmd_cd"] = res["mmd"]
     results["cov_cd"] = res["cov"]
+    results["mmd_smp_cd"] = res["mmd_smp"]
 
     d_ss = pairwise_cd_matrix(sample_pcs, sample_pcs, use_pallas)
     d_rr = pairwise_cd_matrix(ref_pcs, ref_pcs, use_pallas)
@@ -86,30 +93,71 @@ def compute_all_metrics(sample_pcs: jax.Array, ref_pcs: jax.Array,
         res = mmd_cov(e_sr)
         results["mmd_emd"] = res["mmd"]
         results["cov_emd"] = res["cov"]
+        results["mmd_smp_emd"] = res["mmd_smp"]
+        e_ss = pairwise_emd_matrix(sample_pcs, sample_pcs)
+        e_rr = pairwise_emd_matrix(ref_pcs, ref_pcs)
+        results.update({f"{k}_emd": v for k, v in
+                        knn_1nn_accuracy(e_rr, e_sr.T, e_ss).items()})
     return results
+
+
+def _unit_cube_grid(resolution: int, clip_sphere: bool = True):
+    """Cell-center grid over [-0.5, 0.5]³ with spacing 1/(res-1); corner
+    cells outside the radius-0.5 sphere dropped
+    (unit_cube_grid_point_cloud, compute_mmd_cov_1nn.py:235-253)."""
+    ax = np.arange(resolution, dtype=np.float64) / (resolution - 1) - 0.5
+    grid = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"),
+                    axis=-1).reshape(-1, 3)
+    if clip_sphere:
+        kept = np.linalg.norm(grid, axis=1) <= 0.5
+        return grid[kept], kept
+    return grid, np.ones(len(grid), bool)
+
+
+def _occupancy_counts(pcs: np.ndarray, resolution: int) -> np.ndarray:
+    """Total point count per kept grid cell, assigning each point to its
+    nearest cell center among the sphere-clipped set
+    (entropy_of_occupancy_grid, compute_mmd_cov_1nn.py:270-307)."""
+    centers, kept = _unit_cube_grid(resolution, clip_sphere=True)
+    full_to_kept = np.full(resolution ** 3, -1, np.int64)
+    full_to_kept[np.flatnonzero(kept)] = np.arange(kept.sum())
+
+    pts = np.asarray(pcs, np.float64).reshape(-1, 3)
+    # nearest FULL-grid center = independent per-axis rounding; when that
+    # center survived the sphere clip it is also the nearest kept center
+    idx = np.clip(np.rint((pts + 0.5) * (resolution - 1)).astype(np.int64),
+                  0, resolution - 1)
+    flat = (idx[:, 0] * resolution + idx[:, 1]) * resolution + idx[:, 2]
+    nearest = full_to_kept[flat]
+    miss = nearest < 0
+    if miss.any():
+        # the rounded center was a clipped corner cell: exact NN over the
+        # kept centers for those boundary points only
+        d = ((pts[miss, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        nearest[miss] = d.argmin(axis=1)
+    return np.bincount(nearest, minlength=len(centers)).astype(np.float64)
+
+
+def _entropy_bits(p: np.ndarray) -> float:
+    p = p[p > 0]
+    return float(-(p * np.log2(p)).sum())
 
 
 def jsd_between_point_cloud_sets(sample_pcs: np.ndarray, ref_pcs: np.ndarray,
                                  resolution: int = 28) -> float:
-    """Voxel-occupancy Jensen-Shannon divergence
-    (compute_mmd_cov_1nn.py:256-350), numpy host-side."""
-    def occupancy(pcs):
-        grid = np.zeros((resolution,) * 3, np.float64)
-        half = resolution / 2.0
-        for pc in pcs:
-            idx = np.clip(((pc + 1.0) * half).astype(int), 0, resolution - 1)
-            g = np.zeros_like(grid)
-            g[idx[:, 0], idx[:, 1], idx[:, 2]] = 1
-            grid += g
-        return grid / len(pcs)
+    """latent_3d_points JSD (compute_mmd_cov_1nn.py:256-350): each set's
+    points are binned to the nearest center of the sphere-clipped unit-cube
+    grid, the two TOTAL-COUNT distributions are normalized, and their
+    Jensen-Shannon divergence is returned in bits.
 
-    p = occupancy(np.asarray(sample_pcs)).ravel()
-    q = occupancy(np.asarray(ref_pcs)).ravel()
-
-    def entropy_term(a, b):
-        m = 0.5 * (a + b)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            t = a * (np.log(a) - np.log(m))
-        return np.where(a > 0, t, 0.0).sum()
-
-    return float(0.5 * (entropy_term(p, q) + entropy_term(q, p)))
+    Clouds should live in the unit sphere (|p| ≤ 0.5). The reference's
+    per-cloud ``normalization`` produces [-1, 1] clouds, but its driver
+    never invokes JSD (:417-449 runs only compute_all_metrics) — callers
+    here scale by 0.5 to honor the published protocol.
+    """
+    p = _occupancy_counts(np.asarray(sample_pcs), resolution)
+    q = _occupancy_counts(np.asarray(ref_pcs), resolution)
+    p = p / max(p.sum(), 1e-12)
+    q = q / max(q.sum(), 1e-12)
+    return _entropy_bits(0.5 * (p + q)) - 0.5 * (_entropy_bits(p) +
+                                                 _entropy_bits(q))

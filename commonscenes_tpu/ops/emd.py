@@ -56,12 +56,17 @@ def emd_sinkhorn(x: jax.Array, y: jax.Array, epsilon: float = 0.02,
     (f, g), _ = jax.lax.scan(body, (f, g), None, length=iters)
     P = jnp.exp((f[:, :, None] + g[:, None, :] - Cn) / eps)  # [B, N, M]
     cost = jnp.sum(P * C, axis=(1, 2))
-    return cost / jnp.maximum(jnp.sum(P, axis=(1, 2)), 1e-9) * N
+    # mean matched distance — the reference convention: the torch fallback
+    # takes .mean() over matched pairs (compute_mmd_cov_1nn.py:35-52) and
+    # the CUDA match_cost sum is divided by N at the call site (:57-66)
+    return cost / jnp.maximum(jnp.sum(P, axis=(1, 2)), 1e-9)
 
 
 def emd_hungarian(x: np.ndarray, y: np.ndarray,
                   squared: bool = False) -> np.ndarray:
-    """Exact assignment EMD via scipy (host-side; parity/golden tests)."""
+    """Exact assignment EMD via scipy (host-side; parity/golden tests).
+    Mean matched distance, like the reference's emd_approx
+    (compute_mmd_cov_1nn.py:35-52)."""
     from scipy.optimize import linear_sum_assignment
     out = []
     for xb, yb in zip(x, y):
@@ -69,5 +74,5 @@ def emd_hungarian(x: np.ndarray, y: np.ndarray,
         if not squared:
             d = np.sqrt(np.maximum(d, 0))
         r, c = linear_sum_assignment(d)
-        out.append(d[r, c].sum())
+        out.append(d[r, c].mean())
     return np.asarray(out, np.float32)

@@ -164,16 +164,79 @@ def sample_surface_points(verts: np.ndarray, faces: np.ndarray, n: int,
     return pts.astype(np.float32)
 
 
+def normalize_point_cloud(pts: np.ndarray, mode: str | None) -> np.ndarray:
+    """The reference's per-metric point-cloud normalization conventions.
+
+    - ``"bbox_axis"``: center each axis on its bbox midpoint, then divide
+      by the per-axis max — every axis spans exactly [-1, 1], anisotropic
+      (the diversity metric's ``normalize``, eval_3dfront.py:783-796).
+    - ``"mean_maxabs"``: subtract the point mean, divide by the global
+      max |coord| — isotropic, inside [-1, 1] (the MMD driver's
+      ``normalization``, compute_mmd_cov_1nn.py:395-401).
+    - ``None``/``"none"``: unchanged (the consistency chamfer compares raw
+      canonical-frame vertices, consistency_check.py:68-79).
+    """
+    if mode in (None, "none") or len(pts) == 0:
+        return pts
+    pts = np.asarray(pts, np.float32).copy()
+    if mode == "bbox_axis":
+        lo, hi = pts.min(0), pts.max(0)
+        pts -= lo + (hi - lo) * 0.5
+        # the reference divides by the raw per-axis max (zero for a flat
+        # axis → inf); guard the degenerate axis instead of propagating nan
+        return pts / np.maximum(pts.max(0), 1e-9)
+    if mode == "mean_maxabs":
+        pts -= pts.mean(0)
+        return pts / max(np.abs(pts).max(), 1e-9)
+    raise ValueError(f"unknown normalization mode: {mode!r}")
+
+
+def resample_rows(pts: np.ndarray, n: int,
+                  rng: np.random.RandomState) -> np.ndarray:
+    """The reference's vertex-resampling rule (helpers/util.py:31-44
+    ``sample_points`` / compute_mmd_cov_1nn.py:372-386 ``sample_pc``):
+    a random permutation prefix when enough rows exist, sampling with
+    replacement otherwise."""
+    if len(pts) == 0:
+        return np.zeros((n, 3), np.float32)
+    if len(pts) >= n:
+        return pts[rng.permutation(len(pts))[:n]]
+    return pts[rng.randint(0, len(pts), size=n)]
+
+
+def sdf_to_vertex_cloud(sdf: np.ndarray, n_points: int = 5000,
+                        level: float = 0.02,
+                        rng: np.random.RandomState | None = None,
+                        normalize: str | None = None) -> np.ndarray:
+    """SDF grid → n resampled MESH VERTICES in the canonical [-0.5, 0.5]
+    frame — the clouds every reference metric actually consumes: the
+    per-object ``object_meshes/*.obj`` are exported BEFORE the box fit
+    (helpers/util.py:317 vs :320), and the metric drivers resample their
+    vertices, not surface points (compute_mmd_cov_1nn.py:430-447,
+    consistency_check.py:68-77, eval_3dfront.py:598-616)."""
+    rng = rng or np.random.RandomState(0)
+    verts, _ = marching_tetrahedra(sdf, level, weld=True)
+    pts = resample_rows(verts.astype(np.float32), n_points, rng)
+    return normalize_point_cloud(pts, normalize)
+
+
 def sdf_to_point_cloud(sdf: np.ndarray, n_points: int = 5000,
                        level: float = 0.02,
                        rng: np.random.RandomState | None = None,
-                       normalize: bool = True) -> np.ndarray:
-    """SDF grid → n surface points (the metric-side equivalent of
-    sdf_to_mesh + trimesh.sample in eval_3dfront.py:652-668). Uses the
-    weld-free triangle soup — sampling doesn't need shared vertices."""
+                       normalize: bool | str | None = True) -> np.ndarray:
+    """SDF grid → n area-weighted surface points (a lower-variance
+    alternative to the reference's vertex resampling; see
+    ``sdf_to_vertex_cloud`` for the protocol-exact clouds). Uses the
+    weld-free triangle soup — sampling doesn't need shared vertices.
+
+    ``normalize=True`` keeps this helper's historical [-0.5, 0.5]
+    bbox-isotropic scaling; a string selects a reference convention from
+    ``normalize_point_cloud``."""
     rng = rng or np.random.RandomState(0)
     verts, faces = marching_tetrahedra(sdf, level, weld=False)
     pts = sample_surface_points(verts, faces, n_points, rng)
+    if isinstance(normalize, str):
+        return normalize_point_cloud(pts, normalize)
     if normalize and len(pts):
         center = (pts.max(0) + pts.min(0)) / 2
         pts = pts - center
