@@ -126,8 +126,14 @@ def check_rules(pred_names: Sequence[str], box_s: np.ndarray,
 
     setrule("left", (dz <= -0.05) & not_overlapping)
     setrule("right", (dz >= 0.05) & not_overlapping)
-    setrule("front", (dx >= 0.05) & not_overlapping)
-    setrule("behind", (dx <= -0.05) & not_overlapping)
+    # the reference's front/behind bands are LENIENT and overlap: front
+    # passes for dx >= -0.05 and behind for dx <= +0.05 (both pass inside
+    # |dx| < 0.05), unlike the one-sided left/right bands
+    # (metrics_3dfront.py:89-102, same in the changes variant :217-233).
+    # This asymmetry is the published SCA protocol — do not "repair" it,
+    # or the rates stop being comparable to the paper's tables.
+    setrule("front", (dx >= -0.05) & not_overlapping)
+    setrule("behind", (dx <= 0.05) & not_overlapping)
     with np.errstate(divide="ignore", invalid="ignore"):
         setrule("bigger", (vol_s - vol_o) / vol_s >= 0.15)
         setrule("smaller", (vol_s - vol_o) / vol_s <= -0.15)
