@@ -35,13 +35,18 @@ def fit_vertices_to_box(verts: np.ndarray, box: np.ndarray,
     """Place unit-ish shape vertices into a (l,h,w,px,py,pz) box with a yaw
     angle. Mirrors fit_shapes_to_box_v2 on raw vertex arrays."""
     v = np.asarray(verts, np.float64).copy()
-    # recentre: bottom center to origin
     lo, hi = v.min(0), v.max(0)
     bottom_center = (lo + hi) / 2.0
     bottom_center[1] = lo[1]
-    v = v - bottom_center
-    # −90° pre-rotation around y (reference aligns 3D-FUTURE forward axis)
-    v = v @ yaw_rotation(-90.0).T
+    # reference chain (fit_shapes_to_box_v2, util.py:169-174): rotate −90°
+    # about +y FIRST — in TRIMESH's convention, v → (−z, y, x), the
+    # transpose of get_rotation_3dfront's sense — THEN subtract the
+    # PRE-rotation bottom center. For xz-asymmetric meshes that leaves an
+    # off-axis residual that gets baked in by the scale; it is the
+    # reference's own behavior, kept for parity.
+    v = v @ np.array([[0.0, 0.0, 1.0],
+                      [0.0, 1.0, 0.0],
+                      [-1.0, 0.0, 0.0]]) - bottom_center
     # normalize extents → scale to box
     extents = v.max(0) - v.min(0)
     v = v / np.maximum(extents, 1e-9)

@@ -106,6 +106,21 @@ def test_keep_and_changes_mode_match_reference(ref):
     assert len(theirs["total"]) + len(theirs_c["total"]) == len(triples)
 
 
+def test_angular_stats_match_reference(ref):
+    from commonscenes_tpu.eval.constraints import (estimate_angular_mean,
+                                                   estimate_angular_std)
+    rng = np.random.RandomState(0)
+    for degs in (rng.uniform(0, 360, 25),
+                 np.array([350.0, 10.0, 5.0, 355.0])):   # wraparound cluster
+        # means agree as directions; the reference can emit 360.0 where we
+        # normalize to 0.0 (phase(-1e-16) % 360 float artifact)
+        dm = (estimate_angular_mean(degs)
+              - ref.estimate_angular_mean(degs)) % 360.0
+        assert min(dm, 360.0 - dm) < 1e-9
+        np.testing.assert_allclose(estimate_angular_std(degs),
+                                   ref.estimate_angular_std(degs), atol=1e-9)
+
+
 def test_front_behind_lenient_band(ref):
     """|dx| < 0.05 (and no overlap): BOTH front and behind pass."""
     from commonscenes_tpu.eval.constraints import check_rules

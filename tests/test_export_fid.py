@@ -21,15 +21,43 @@ def unit_cube():
     return v
 
 
-def test_fit_vertices_extents_and_position():
-    v = unit_cube()
+def _reference_fit(verts, box, angle_deg):
+    """Numpy mirror of fit_shapes_to_box_v2 (util.py:158-189) with trimesh
+    semantics spelled out: apply_transform(T@R) = rotate then translate,
+    apply_scale = about the origin, bounds from the vertex extrema."""
+    v = np.asarray(verts, np.float64)
+    lo, hi = v.min(0), v.max(0)
+    bottom_center = lo + (hi - lo) / 2.0
+    bottom_center[1] = lo[1]
+    th = -np.pi / 2                      # trimesh rotation_matrix(-pi/2, y)
+    Rt = np.array([[np.cos(th), 0, np.sin(th)],
+                   [0, 1, 0],
+                   [-np.sin(th), 0, np.cos(th)]])
+    v = (Rt @ v.T).T - bottom_center
+    shape_size = v.max(0) - v.min(0)
+    v = v / shape_size * np.array(box[:3])
+    R = yaw_rotation(angle_deg)
+    return (np.linalg.inv(R) @ v.T).T + np.asarray(box[3:6])
+
+
+def test_fit_matches_reference_pipeline():
+    rng = np.random.RandomState(0)
+    v = rng.rand(50, 3) * [0.4, 0.8, 0.6] + [0.1, -0.3, 0.2]  # off-center
+    box = np.array([2.0, 1.0, 3.0, 5.0, 0.5, -4.0])
+    for ang in (0.0, 37.0, -120.0):
+        ours = fit_vertices_to_box(v, box, angle_deg=ang)
+        theirs = _reference_fit(v, box, ang)
+        np.testing.assert_allclose(ours, theirs, atol=1e-9)
+
+
+def test_fit_centered_mesh_lands_in_box():
+    """SDF-decoded meshes are xz-centered, so the reference's pre-rotation
+    bottom-center quirk vanishes: the placed mesh fills the box at t."""
+    v = unit_cube() - [0.5, 0.5, 0.5]
     box = np.array([2.0, 1.0, 3.0, 5.0, 0.5, -4.0])
     out = fit_vertices_to_box(v, box, angle_deg=0.0)
     ext = out.max(0) - out.min(0)
-    # extents follow (l → z?, w → x?) after the −90° pre-rotation: check
-    # the sorted extents match the box dims
     np.testing.assert_allclose(sorted(ext), sorted([2.0, 1.0, 3.0]), atol=1e-6)
-    # bottom center lands at the box translation (y at bottom)
     center = (out.max(0) + out.min(0)) / 2
     np.testing.assert_allclose(center[[0, 2]], [5.0, -4.0], atol=1e-6)
     np.testing.assert_allclose(out.min(0)[1], 0.5, atol=1e-6)
