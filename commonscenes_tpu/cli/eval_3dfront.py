@@ -447,6 +447,8 @@ def main(argv=None):
     # ------------------------------------------------------------------
     accuracy = None
     run_sdfs = [[] for _ in range(max(args.num_samples, 1))]
+    run_boxes = [[] for _ in range(max(args.num_samples, 1))]
+    run_angles = [[] for _ in range(max(args.num_samples, 1))]
     obj_classes_acc = []
     export = []
     manip = args.manipulation
@@ -540,11 +542,20 @@ def main(argv=None):
                 N = cfg.batch.max_objs
                 valid_sel = np.where(
                     slots[:n_real] // N < n_valid)[0]
+                # the reference also tracks box + angle spread across the
+                # resamples (eval_3dfront.py:66-90, report :759-762)
+                obj_sel = np.where((np.asarray(b.dec.obj_mask)
+                                    * row_valid[:, None]).reshape(-1) > 0)[0]
                 for s_idx in range(args.num_samples):
                     key, sub2 = jax.random.split(key)
                     o = sample_fn(b.dec, sub2, slots_j, True)
                     sd = np.asarray(o["sdf"], np.float32)[..., 0]
                     run_sdfs[s_idx].append(sd[:n_real][valid_sel])
+                    run_boxes[s_idx].append(
+                        denorm(np.asarray(o["boxes"], np.float32))[obj_sel])
+                    run_angles[s_idx].append(
+                        np.asarray(o["angles"]).argmax(1)[obj_sel]
+                        / 24.0 * 360.0)
                 objs_flat = np.asarray(b.dec.objs).reshape(-1)
                 obj_classes_acc.append(objs_flat[slots[:n_real]][valid_sel])
 
@@ -586,9 +597,13 @@ def main(argv=None):
     summary["latent_stats_scenes"] = stats_scenes
 
     if args.evaluate_diversity and any(len(r) for r in run_sdfs):
+        from commonscenes_tpu.eval.diversity import box_angle_diversity
         runs = [np.concatenate(r, 0) for r in run_sdfs if r]
         classes = np.concatenate(obj_classes_acc, 0)
         summary.update(diversity_between_runs(runs, classes))
+        summary.update(box_angle_diversity(
+            [np.concatenate(r, 0) for r in run_boxes if r],
+            [np.concatenate(r, 0) for r in run_angles if r]))
 
     if args.export_dir:
         with open(os.path.join(args.export_dir, "layouts.json"), "w") as f:

@@ -62,3 +62,24 @@ def diversity_between_runs(run_sdfs: List[np.ndarray],
     for cls, vals in per_class.items():
         out[f"diversity_cls_{cls}"] = float(np.mean(vals))
     return out
+
+
+def box_angle_diversity(run_boxes: List[np.ndarray],
+                        run_angles_deg: List[np.ndarray]
+                        ) -> Dict[str, float]:
+    """Box-parameter and yaw spread across resample runs: per-object
+    unbiased std of the DENORMALIZED boxes split into size[:3] /
+    location[3:] means, plus the circular std of the decoded angles
+    (reference eval_3dfront.py:80-90, report :759-762)."""
+    from commonscenes_tpu.eval.constraints import estimate_angular_std
+    out: Dict[str, float] = {}
+    if len(run_boxes) >= 2:
+        boxes = np.stack(run_boxes, axis=1)      # [n_obj, n_runs, 6]
+        per_dim = boxes.std(axis=1, ddof=1).mean(axis=0)  # torch.std: ddof=1
+        out["diversity_box_size_std"] = float(per_dim[:3].mean())
+        out["diversity_box_loc_std"] = float(per_dim[3:].mean())
+    if len(run_angles_deg) >= 2:
+        angles = np.stack(run_angles_deg, axis=1)  # [n_obj, n_runs]
+        out["diversity_angle_std"] = float(np.mean(
+            [estimate_angular_std(a) for a in angles]))
+    return out

@@ -66,3 +66,24 @@ def test_consistency_scores_same_vs_different():
     # the score is a valid cosine and identical shapes max it out
     assert -1.0 <= diff["consistency_feature_cos"] <= 1.0
     assert same["consistency_feature_cos"] > 0.98
+
+
+def test_box_angle_diversity_stats():
+    """Reference box/angle diversity semantics (eval_3dfront.py:759-762):
+    unbiased per-object std of denormalized boxes (size/location split) and
+    circular std of yaw angles."""
+    import pytest
+    from commonscenes_tpu.eval.diversity import box_angle_diversity
+    rng = np.random.RandomState(0)
+    runs_b = [rng.randn(8, 6) for _ in range(4)]
+    runs_a = [np.full(8, 10.0), np.full(8, 350.0)]   # wraps through 0
+    out = box_angle_diversity(runs_b, runs_a)
+    per_dim = np.stack(runs_b, 1).std(1, ddof=1).mean(0)
+    assert out["diversity_box_size_std"] == pytest.approx(per_dim[:3].mean())
+    assert out["diversity_box_loc_std"] == pytest.approx(per_dim[3:].mean())
+    # circular mean sits at 0/360; both samples 10 deg away -> std == 10
+    assert out["diversity_angle_std"] == pytest.approx(10.0)
+    same = box_angle_diversity([runs_b[0], runs_b[0].copy()],
+                               [runs_a[0], runs_a[0].copy()])
+    assert same["diversity_box_size_std"] == 0.0
+    assert same["diversity_angle_std"] == 0.0
