@@ -106,6 +106,20 @@ def test_keep_and_changes_mode_match_reference(ref):
     assert len(theirs["total"]) + len(theirs_c["total"]) == len(triples)
 
 
+def test_box_denorm_matches_reference(ref):
+    """denormalize_box_params (util.py:536-562, re-exported by the metrics
+    module): z-score with the published bedroom stats and scale 3."""
+    from commonscenes_tpu.data.synthetic import (denormalize_boxes,
+                                                 normalize_boxes)
+    rng = np.random.RandomState(0)
+    x = rng.randn(6)
+    np.testing.assert_allclose(denormalize_boxes(x),
+                               ref.denormalize_box_params(x, params=6),
+                               rtol=1e-5)
+    np.testing.assert_allclose(normalize_boxes(denormalize_boxes(x)), x,
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_angular_stats_match_reference(ref):
     from commonscenes_tpu.eval.constraints import (estimate_angular_mean,
                                                    estimate_angular_std)
