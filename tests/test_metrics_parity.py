@@ -131,6 +131,28 @@ def test_bbox_axis_normalization_invariants(rng):
     np.testing.assert_allclose(out.min(0), -1.0, atol=1e-5)
 
 
+def test_chamfer_matches_reference(ref, rng):
+    """Squared bidirectional chamfer vs the reference torch distChamfer
+    (compute_mmd_cov_1nn.py:12-22): dl = per-y-point min (dim 1),
+    dr = per-x-point min (dim 2)."""
+    import jax.numpy as jnp
+    from commonscenes_tpu.ops.chamfer import chamfer, chamfer_distance
+    # the reference helper assumes equal cloud sizes (its driver always
+    # resamples to 5000); parity is checked on that contract
+    x = rng.randn(2, 64, 3).astype(np.float32)
+    y = rng.randn(2, 64, 3).astype(np.float32)
+    dl, dr = ref.distChamfer(torch.from_numpy(x), torch.from_numpy(y))
+    d_xy, d_yx = chamfer(jnp.asarray(x), jnp.asarray(y), use_pallas=False)
+    np.testing.assert_allclose(np.asarray(d_xy), dr.numpy(), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d_yx), dl.numpy(), rtol=1e-4,
+                               atol=1e-5)
+    # scalar form = mean(dl) + mean(dr), the CD every metric consumes
+    cd = chamfer_distance(jnp.asarray(x), jnp.asarray(y), use_pallas=False)
+    np.testing.assert_allclose(
+        np.asarray(cd), (dl.mean(1) + dr.mean(1)).numpy(), rtol=1e-4)
+
+
 def test_compute_all_metrics_has_emd_1nn(rng):
     import jax.numpy as jnp
     from commonscenes_tpu.eval.mmd_cov_1nn import compute_all_metrics
