@@ -62,6 +62,13 @@ def build_parser():
                         "dimension reserved for the device mesh)")
     p.add_argument("--pack_bucket", type=int, default=16,
                    help="shape-slot packing bucket (static DDIM batch)")
+    p.add_argument("--shard_objects", default=False,
+                   type=lambda s: s.lower() in ("1", "true", "yes"),
+                   help="single-scene latency mode: process one scene per "
+                        "call and shard its packed shape slots across the "
+                        "device mesh (the reference instead runs slots "
+                        "through a serial mini-batch-of-7 loop, "
+                        "sdfusion_txt2shape_model.py:493-511)")
     p.add_argument("--stats_batch", type=int, default=16,
                    help="scenes per jitted latent-stats batch")
     p.add_argument("--cat_jid", default="",
@@ -255,8 +262,20 @@ def main(argv=None):
     dtype = jnp.bfloat16 if getattr(train_args, "bf16", True) else None
     rng = np.random.RandomState(args.seed)
     key = jax.random.PRNGKey(args.seed)
-    if args.eval_batch > 0:
+    slot_sharding = None
+    if args.shard_objects and jax.device_count() > 1:
+        # latency mode: one scene per call, its packed slots sharded
+        from jax.sharding import NamedSharding, PartitionSpec
+        from commonscenes_tpu.parallel.mesh import make_mesh
+        B = 1
+        mesh = make_mesh(jax.device_count())
+        args.pack_bucket = mesh.devices.size
+        slot_sharding = NamedSharding(mesh, PartitionSpec("data"))
+        print(f"[*] object-sharded sampling over {mesh.devices.size} "
+              f"devices (one scene per call)")
+    elif args.eval_batch > 0:
         B = args.eval_batch
+        mesh = make_eval_mesh(B)
     else:
         # auto: one scene per device. Per-chip, B=1 sampling measures
         # fastest (BENCH r3: 0.1500 single vs 0.1471/scene at B=2 on one
@@ -264,8 +283,8 @@ def main(argv=None):
         B = max(1, jax.device_count())
         print(f"[*] eval_batch auto-selected: {B} "
               f"({jax.device_count()} device(s))")
-    mesh = make_eval_mesh(B)
-    if mesh is not None:
+        mesh = make_eval_mesh(B)
+    if mesh is not None and slot_sharding is None:
         print(f"[*] eval sharded over {mesh.devices.size} devices")
 
     # ------------------------------------------------------------------
@@ -411,7 +430,8 @@ def main(argv=None):
         def sample_fn(dec, k, slots, gen):
             return model.sample(variables, dec, mean_j, chol_j, k,
                                 gen_shape=gen, shape_slot_idx=slots,
-                                sampler=args.sampler)
+                                sampler=args.sampler,
+                                slot_sharding=slot_sharding)
 
         @partial(jax.jit, static_argnames=("gen",))
         def manip_fn(batch, k, slots, gen):

@@ -178,7 +178,7 @@ class CommonScenesV2Full:
                ddim_tables=None, uc_scale: Optional[float] = None,
                shared_noise: bool = True,
                shape_slot_idx: Optional[jax.Array] = None,
-               sampler: str = "ddim"):
+               sampler: str = "ddim", slot_sharding=None):
         """Generate boxes/angles (+ SDF grids) for a decoder-view batch.
 
         mean_est [Dz] / cov_chol [Dz, Dz] are the train-set latent statistics
@@ -192,6 +192,15 @@ class CommonScenesV2Full:
         at batch K instead of B·N, skipping padded/root slots (the reference
         equivalently selects nonzero-SDF rows, VAEGAN_V2FULL.py:606-614).
         The returned sdf is [K, R, R, R, 1] in slot order.
+
+        ``slot_sharding`` (a ``NamedSharding`` over a data axis): shards the
+        packed K axis of the whole diffusion+decode program across the mesh
+        — single-scene latency mode. The per-slot chains are independent
+        (per-sample norms, per-slot conditioning), so XLA partitions the
+        DDIM scan with no cross-slot collectives; the reference instead runs
+        its slots through a SERIAL mini-batch-of-7 loop
+        (sdfusion_txt2shape_model.py:493-511). K must divide by the mesh
+        size (``pack_slots(bucket=n_devices)``).
         """
         cfg = self.cfg
         uc_scale = cfg.diffusion.uc_scale if uc_scale is None else uc_scale
@@ -217,13 +226,15 @@ class CommonScenesV2Full:
             gen_sdf = self._gen_shapes(variables, uc_rel, c_rel, k_noise,
                                        shape_slot_idx, tables, uc_scale,
                                        shared_noise, shape_mask,
-                                       sampler=sampler)
+                                       sampler=sampler,
+                                       slot_sharding=slot_sharding)
 
         return {"boxes": boxes, "angles": angles, "sdf": gen_sdf, "z": z}
 
     def _gen_shapes(self, variables, uc_rel, c_rel, k_noise,
                     shape_slot_idx, tables, uc_scale, shared_noise,
-                    shape_mask=None, sampler: str = "ddim"):
+                    shape_mask=None, sampler: str = "ddim",
+                    slot_sharding=None):
         """DDIM (or PLMS) chain + VQ-VAE decode over (optionally slot-packed)
         relation tokens (reference rel2shape,
         sdfusion_txt2shape_model.py:460-516; the PLMS sampler ships in the
@@ -234,11 +245,12 @@ class CommonScenesV2Full:
         with inference_trace(True):
             return self._gen_shapes_impl(
                 variables, uc_rel, c_rel, k_noise, shape_slot_idx, tables,
-                uc_scale, shared_noise, shape_mask, sampler)
+                uc_scale, shared_noise, shape_mask, sampler, slot_sharding)
 
     def _gen_shapes_impl(self, variables, uc_rel, c_rel, k_noise,
                          shape_slot_idx, tables, uc_scale, shared_noise,
-                         shape_mask=None, sampler: str = "ddim"):
+                         shape_mask=None, sampler: str = "ddim",
+                         slot_sharding=None):
         cfg = self.cfg
         if shape_slot_idx is not None:
             c_rel = jnp.take(c_rel, shape_slot_idx, axis=0)
@@ -257,6 +269,13 @@ class CommonScenesV2Full:
             uc_in = uc_rel.reshape(K, -1)
         else:
             c_in, uc_in = c_rel, uc_rel
+
+        if slot_sharding is not None:
+            # pin the packed-slot axis to the mesh; GSPMD propagates the
+            # sharding through the DDIM scan carries and the decode
+            x_T = jax.lax.with_sharding_constraint(x_T, slot_sharding)
+            c_in = jax.lax.with_sharding_constraint(c_in, slot_sharding)
+            uc_in = jax.lax.with_sharding_constraint(uc_in, slot_sharding)
 
         def denoise_fn(x, t, c):
             # inference=True: forward-only program → inference-only kernel

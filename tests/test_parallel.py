@@ -192,3 +192,54 @@ def test_dp_v1full_step_matches_single_device():
         np.testing.assert_allclose(float(m_single[k]), float(m_dp[k]),
                                    rtol=5e-3, atol=1e-4,
                                    err_msg=f"metric {k} differs under DP")
+
+
+def test_object_sharded_sampling_matches_unsharded():
+    """Single-scene latency mode: sharding the packed shape-slot axis of the
+    sampling program across the 8-device mesh must reproduce the unsharded
+    output bit-for-bit (same key, same program semantics)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tests.test_train_step import make_batch, tiny_cfg, VOCAB
+    from commonscenes_tpu.eval.sampling import pack_slots
+    from commonscenes_tpu.models.commonscenes import CommonScenesV2Full
+
+    cfg = tiny_cfg()
+    cfg = cfg.replace(batch=cfg.batch.__class__(
+        batch_size=1, max_objs=10, max_triples=48, diffusion_bs=2,
+        sdf_res=16))
+    model = CommonScenesV2Full(cfg, VOCAB.num_obj_classes,
+                               VOCAB.num_pred_classes)
+    batch = make_batch(cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    variables = {
+        "layout": {"params": variables["layout"]["params"],
+                   "batch_stats": variables["layout"]["batch_stats"]},
+        "df": {"params": variables["df"]["params"]},
+        "vqvae": {"params": variables["vqvae"]["params"]},
+    }
+    D = cfg.layout.box_embedding_dim + cfg.layout.angle_embedding_dim
+    slots, n_real = pack_slots(batch.dec.objs, batch.dec.obj_mask,
+                               VOCAB.scene_class_id, bucket=8)
+    assert len(slots) % 8 == 0
+
+    mesh = make_mesh(8)
+    sharding = NamedSharding(mesh, P("data"))
+
+    def run(slot_sharding):
+        fn = jax.jit(lambda: model.sample(
+            variables, batch.dec, jnp.zeros(D), jnp.eye(D),
+            jax.random.PRNGKey(3), gen_shape=True,
+            shape_slot_idx=jnp.asarray(slots),
+            slot_sharding=slot_sharding))
+        return fn()
+
+    base = run(None)
+    with mesh:
+        sharded = run(sharding)
+    np.testing.assert_allclose(np.asarray(sharded["boxes"]),
+                               np.asarray(base["boxes"]), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(sharded["sdf"][:n_real], np.float32),
+        np.asarray(base["sdf"][:n_real], np.float32), atol=2e-2)
+    # the sharded program really put the slot axis on the mesh
+    assert not sharded["sdf"].sharding.is_fully_replicated
