@@ -223,3 +223,14 @@ def test_pseudo_clip_process_stable():
         assert out.returncode == 0, out.stderr[-500:]
         vals.add(out.stdout.strip())
     assert len(vals) == 1, f"per-process feature drift: {vals}"
+
+
+def test_fid_closed_form_diagonal():
+    """Analytic Fréchet distance for diagonal Gaussians:
+    |mu1-mu2|^2 + sum(s1 + s2 - 2*sqrt(s1*s2))."""
+    from commonscenes_tpu.eval.fid import frechet_distance
+    mu1, mu2 = np.zeros(2), np.array([1.0, 2.0])
+    s1, s2 = np.diag([4.0, 9.0]), np.diag([1.0, 1.0])
+    expected = 5.0 + (4 + 1 - 2 * 2.0) + (9 + 1 - 2 * 3.0)
+    np.testing.assert_allclose(frechet_distance(mu1, s1, mu2, s2), expected,
+                               rtol=1e-9)
