@@ -23,7 +23,12 @@ from commonscenes_tpu.diffusion.schedule import DDIMTables
 
 def plms_sample(denoise_fn: Callable, tables: DDIMTables, x_T: jax.Array,
                 cond: jax.Array, uncond: Optional[jax.Array] = None,
-                uc_scale: float = 1.0) -> jax.Array:
+                uc_scale: float = 1.0,
+                cfg_fn: Optional[Callable] = None) -> jax.Array:
+    """``cfg_fn(x, t, cond_full) → ε̂ [2B, ...]`` is the optional CFG-deduped
+    denoiser (same contract as ddim_sample: x/t at batch B, cond_full =
+    [uncond ‖ cond]; the UNet shares the context-free prefix between the
+    halves, nn/unet3d.py cfg_pair) — bitwise-equal to the naive 2B call."""
     steps = jnp.asarray(tables.timesteps)
     alphas = jnp.asarray(tables.alphas)
     alphas_prev = jnp.asarray(tables.alphas_prev)
@@ -38,8 +43,11 @@ def plms_sample(denoise_fn: Callable, tables: DDIMTables, x_T: jax.Array,
     def eps_fn(x, t_scalar):
         t = jnp.full((B,), t_scalar, dtype=jnp.int32)
         if use_cfg:
-            e_both = denoise_fn(jnp.concatenate([x, x], 0),
-                                jnp.concatenate([t, t], 0), cond_full)
+            if cfg_fn is not None:
+                e_both = cfg_fn(x, t, cond_full)
+            else:
+                e_both = denoise_fn(jnp.concatenate([x, x], 0),
+                                    jnp.concatenate([t, t], 0), cond_full)
             e_uc, e_c = jnp.split(e_both, 2, axis=0)
             return e_uc + uc_scale * (e_c - e_uc)
         return denoise_fn(x, t, cond)

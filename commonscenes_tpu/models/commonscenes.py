@@ -283,19 +283,19 @@ class CommonScenesV2Full:
             return self.denoiser.apply(variables["df"], x, t, c,
                                        inference=True)
 
+        cfg_fn = None
+        if cfg.diffusion.conditioning_key == "crossattn":
+            # CFG-deduped forward: the uncond/cond halves share the
+            # context-free UNet prefix (nn/unet3d.py cfg_pair)
+            def cfg_fn(x, t, c_full):  # noqa: F811
+                return self.denoiser.apply(variables["df"], x, t, c_full,
+                                           cfg_pair=True, inference=True)
+
         if sampler == "plms":
             from commonscenes_tpu.diffusion.plms import plms_sample
             samples = plms_sample(denoise_fn, tables, x_T, c_in, uc_in,
-                                  uc_scale=uc_scale)
+                                  uc_scale=uc_scale, cfg_fn=cfg_fn)
         else:
-            cfg_fn = None
-            if cfg.diffusion.conditioning_key == "crossattn":
-                # CFG-deduped forward: the uncond/cond halves share the
-                # context-free UNet prefix (nn/unet3d.py cfg_pair)
-                def cfg_fn(x, t, c_full):  # noqa: F811
-                    return self.denoiser.apply(variables["df"], x, t, c_full,
-                                               cfg_pair=True, inference=True)
-
             # eta key always threaded: with ddim_eta=0 the sigma table is
             # all-zero and the stochastic branch compiles away; with eta>0
             # the reference adds sigma_t·noise each step (ddim.py:241-243)

@@ -70,3 +70,24 @@ def test_sdfusion_trainer_step():
                                      jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics["loss_total"]))
     assert int(s2.step) == 1
+
+
+def test_plms_cfg_fn_matches_naive_double_batch():
+    """The optional CFG-deduped denoiser hook must be bitwise-equal to the
+    naive 2B-batched call (same contract as ddim_sample's cfg_fn)."""
+    tables = make_ddim_tables(SCHED, 5, eta=0.0)
+
+    def denoise(x, t, c):
+        return 0.05 * x + 0.01 * c.reshape(c.shape[0], 1, 1, 1, 1)
+
+    def cfg_fn(x, t, c_full):
+        return denoise(jnp.concatenate([x, x], 0),
+                       jnp.concatenate([t, t], 0), c_full)
+
+    B = 2
+    x_T = jax.random.normal(jax.random.PRNGKey(0), (B, 2, 2, 2, 1))
+    naive = plms_sample(denoise, tables, x_T, jnp.ones((B,)),
+                        jnp.zeros((B,)), uc_scale=3.0)
+    deduped = plms_sample(denoise, tables, x_T, jnp.ones((B,)),
+                          jnp.zeros((B,)), uc_scale=3.0, cfg_fn=cfg_fn)
+    np.testing.assert_array_equal(np.asarray(naive), np.asarray(deduped))
