@@ -77,6 +77,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="render generated-vs-GT shapes every N steps "
                         "(v2_full only; 0 = off; reference "
                         "train_3dfront.py:442-446)")
+    p.add_argument("--debug_nans", type=bool_flag, default=False,
+                   help="enable jax_debug_nans: every jitted program "
+                        "re-runs un-jitted on a NaN and raises at the "
+                        "producing primitive — the JAX equivalent of the "
+                        "reference's torch.autograd.set_detect_anomaly "
+                        "(train_3dfront.py:265)")
     return p
 
 
@@ -116,6 +122,9 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
 
     import jax
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     from commonscenes_tpu.core.config import FullConfig
     from commonscenes_tpu.data.collate import collate
