@@ -58,12 +58,26 @@ FAST_MODULES = {
     "test_sgfront_reader", "test_flash_attention",
 }
 
+# Heavy tier: the compile-dominated middle (train steps, CLIs, torch parity,
+# DP parity over the virtual mesh, checkpoint roundtrips). Excluding it gives
+# an intermediate tier — `pytest -m "not slow and not heavy"` runs the fast
+# modules plus the single-module forwards (UNet, VQ-VAE, samplers) in a few
+# minutes, vs ~30 min for the full non-slow suite on the 1-core host.
+HEAVY_MODULES = {
+    "test_train_step", "test_torch_parity", "test_parallel",
+    "test_eval_cli", "test_import_checkpoint", "test_checkpoint",
+    "test_v1full_trainer", "test_v1full_checkpoint", "test_plms_vqtrainer",
+    "test_configs", "test_sgfront_fixture", "test_sgfront_adversarial",
+}
+
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
         mod = item.module.__name__.rsplit(".", 1)[-1]
         if mod in FAST_MODULES:
             item.add_marker(pytest.mark.fast)
+        elif mod in HEAVY_MODULES:
+            item.add_marker(pytest.mark.heavy)
 
 
 @pytest.fixture
