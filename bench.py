@@ -138,15 +138,20 @@ def main():
     fetch(out)
     print("compile done", file=sys.stderr, flush=True)
 
-    iters = int(os.environ.get("BENCH_ITERS", "3"))
-    t0 = time.perf_counter()
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    iter_times = []
     for i in range(iters):
+        t0 = time.perf_counter()
         out = jitted(variables, batch.dec, jax.random.PRNGKey(2 + i))
         fetch(out)
-    dt = time.perf_counter() - t0
+        iter_times.append(time.perf_counter() - t0)
+    dt = sum(iter_times)
 
     scenes_done = iters * scenes_per_batch
     scenes_per_sec = scenes_done / dt
+    # worst-iter throughput: the spread the headline number must be quoted
+    # with (public claims are pinned to driver artifacts, VERDICT r3 #3)
+    scenes_per_sec_min = scenes_per_batch / max(iter_times)
     steps_per_sec = iters * cfg.diffusion.ddim_steps / dt
 
     # batched multi-scene eval pipeline (BASELINE config #5): B scenes per
@@ -231,6 +236,8 @@ def main():
         "vs_baseline": round(vs_baseline, 3),
         "extra": {
             "denoise_steps_per_sec": round(steps_per_sec, 3),
+            "scenes_per_sec_min": round(scenes_per_sec_min, 5),
+            "iter_times_s": [round(t, 3) for t in iter_times],
             "sample_tflops_per_scene": round(flops / scenes_per_batch / 1e12, 1),
             "achieved_tflops": round(achieved_flops / 1e12, 1),
             "mfu_vs_v5e_peak": round(achieved_flops / TPU_V5E_PEAK_BF16, 3),

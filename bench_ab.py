@@ -29,24 +29,33 @@ ROOT = os.path.dirname(os.path.abspath(__file__))
 RESULTS = os.environ.get("BENCH_AB_RESULTS", "/tmp/bench_ab_results.jsonl")
 
 # Each entry: name -> extra env. Baseline bench env is shared.
+# Ordered cheapest-first: XLA-path cells share most of the compile cache;
+# the Pallas Winograd cells (Mosaic compile, the round-3 TIMEOUT) run LAST
+# so a slow/wedged cell can't starve the rest of the matrix.
 MATRIX = {
     "default": {},
     "winograd_f2": {"COMMONSCENES_CONV_WINO": "f2"},
     "winograd_f2_bf16": {"COMMONSCENES_CONV_WINO": "f2",
                          "COMMONSCENES_WINO_DTYPE": "bf16"},
-    "winograd_pallas": {"COMMONSCENES_CONV_WINO": "pallas"},
-    "winograd_pallas_gn0": {"COMMONSCENES_CONV_WINO": "pallas",
-                            "COMMONSCENES_FUSED_GN": "0"},
     "winograd_f2_gn0": {"COMMONSCENES_CONV_WINO": "f2",
                         "COMMONSCENES_FUSED_GN": "0"},
     "winograd_f2_minhw65": {"COMMONSCENES_CONV_WINO": "f2",
                             "COMMONSCENES_WINO_MIN_HW": "65"},
     "ffn_rows": {"COMMONSCENES_FFN_KERNEL": "rows"},
     "skip_split_off": {"COMMONSCENES_SKIP_SPLIT": "0"},
+    # train-scope cells (VERDICT r3 #6): compare train_scenes_per_sec in
+    # `extra` — the sampling value is unchanged vs their inference twins
+    "train_default": {"BENCH_TRAIN": "8"},
+    "winograd_f2_train_all": {"COMMONSCENES_CONV_WINO": "f2",
+                              "COMMONSCENES_CONV_WINO_SCOPE": "all",
+                              "BENCH_TRAIN": "8"},
+    "winograd_pallas": {"COMMONSCENES_CONV_WINO": "pallas"},
+    "winograd_pallas_gn0": {"COMMONSCENES_CONV_WINO": "pallas",
+                            "COMMONSCENES_FUSED_GN": "0"},
 }
 
 BASE_ENV = {
-    "BENCH_ITERS": os.environ.get("BENCH_ITERS", "3"),
+    "BENCH_ITERS": os.environ.get("BENCH_ITERS", "5"),
     "BENCH_EVAL_SCENES": os.environ.get("BENCH_EVAL_SCENES", "0"),
     "BENCH_TRAIN": os.environ.get("BENCH_TRAIN", "0"),
 }
@@ -144,8 +153,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", nargs="*", default=None)
     ap.add_argument("--list", action="store_true")
-    ap.add_argument("--timeout", type=int, default=2400,
-                    help="per-run timeout, seconds (cold compile ~8-20 min)")
+    ap.add_argument("--timeout", type=int, default=3600,
+                    help="per-run timeout, seconds (cold compile ~8-20 min; "
+                         "Pallas-Winograd Mosaic compiles can exceed 40 min)")
     ap.add_argument("--force", action="store_true",
                     help="re-run configs already in the results file")
     ap.add_argument("--wait", action="store_true",
@@ -186,8 +196,15 @@ def main():
         print(f"[done] {name}: value={rec.get('value')} "
               f"wall={rec['wall_s']}s", flush=True)
         if rec.get("value") is None and rec.get("tail") == "TIMEOUT":
-            print("run timed out — tunnel likely wedged; stopping", flush=True)
-            break
+            # a timeout can be a wedged tunnel (stop) or just a cell whose
+            # Mosaic compile blew the budget (continue) — probe to tell
+            if tpu_alive():
+                print("cell timed out but TPU probe OK — continuing",
+                      flush=True)
+            else:
+                print("run timed out and TPU probe failed — tunnel wedged; "
+                      "stopping", flush=True)
+                break
 
     # summary table — only records whose knobs match the CURRENT matrix
     # definition (a same-name cell with edited knobs must not shadow it)
