@@ -60,9 +60,11 @@ FAST_MODULES = {
 
 # Heavy tier: the compile-dominated middle (train steps, CLIs, torch parity,
 # DP parity over the virtual mesh, checkpoint roundtrips). Excluding it gives
-# an intermediate tier — `pytest -m "not slow and not heavy"` runs the fast
-# modules plus the single-module forwards (UNet, VQ-VAE, samplers) in a few
-# minutes, vs ~30 min for the full non-slow suite on the 1-core host.
+# an intermediate tier — `pytest -m "not heavy"` runs the fast modules plus
+# the single-module forwards (UNet, VQ-VAE, samplers) in a few minutes, vs
+# ~30 min for the full suite on the 1-core host. Tests individually marked
+# @pytest.mark.fast inside a heavy module stay out of the heavy tier so the
+# intermediate tier is a strict superset of the fast tier (ADVICE r3).
 HEAVY_MODULES = {
     "test_train_step", "test_torch_parity", "test_parallel",
     "test_eval_cli", "test_import_checkpoint", "test_checkpoint",
@@ -76,7 +78,7 @@ def pytest_collection_modifyitems(config, items):
         mod = item.module.__name__.rsplit(".", 1)[-1]
         if mod in FAST_MODULES:
             item.add_marker(pytest.mark.fast)
-        elif mod in HEAVY_MODULES:
+        elif mod in HEAVY_MODULES and not item.get_closest_marker("fast"):
             item.add_marker(pytest.mark.heavy)
 
 
