@@ -121,6 +121,7 @@ def _export_scene(export_dir, scene, vocab, b, bi, boxes_d, angles_row,
         # placed by predicted yaw + translation
         from commonscenes_tpu.eval.scene_export import (DEFAULT_PALETTE,
                                                         angle_bin_to_degrees,
+                                                        box_outline_mesh,
                                                         export_glb,
                                                         export_obj)
         sel = [j for j in range(N) if mask[j]]
@@ -135,15 +136,30 @@ def _export_scene(export_dir, scene, vocab, b, bi, boxes_d, angles_row,
         meshes = [r["mesh"] for r in recs if "mesh" in r]
         mnames = [f"{r['class']}_{sel[r['slot']]}"
                   for r in recs if "mesh" in r]
+        cols = [DEFAULT_PALETTE[int(objs_row[sel[r["slot"]]])
+                                % len(DEFAULT_PALETTE)]
+                for r in recs if "mesh" in r]
+        # bbox outline geometry per real slot — object-colored cylinder
+        # edges like the reference render_boxes path
+        # (helpers/visualize_scene.py:193-199: 12 cylinders, radius 0.02)
+        for j in sel:
+            if int(objs_row[j]) == vocab.scene_class_id:
+                continue
+            box7 = np.concatenate([rows[j],
+                                   [angle_bin_to_degrees(
+                                       int(angles_row[bi * N + j]))]])
+            bv, bf = box_outline_mesh(box7)
+            if len(bf):
+                meshes.append((bv, bf))
+                mnames.append(f"bbox_{j}")
+                cols.append(DEFAULT_PALETTE[int(objs_row[j])
+                                            % len(DEFAULT_PALETTE)])
         if meshes:
             export_obj(os.path.join(export_dir,
                                     f"{scene.scan_id}_retrieval.obj"),
                        meshes, mnames)
             # reference exports each scene as .glb too
             # (helpers/visualize_scene.py:256,359,443)
-            cols = [DEFAULT_PALETTE[int(objs_row[sel[r["slot"]]])
-                                    % len(DEFAULT_PALETTE)]
-                    for r in recs if "mesh" in r]
             export_glb(os.path.join(export_dir,
                                     f"{scene.scan_id}_retrieval.glb"),
                        meshes, mnames, colors=cols)

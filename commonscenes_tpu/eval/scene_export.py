@@ -58,6 +58,79 @@ def fit_vertices_to_box(verts: np.ndarray, box: np.ndarray,
     return v
 
 
+# the reference's 12 box edges over the corner ordering of
+# params_to_8points_3dfront (helpers/visualize_scene.py:136, util.py:405)
+BOX_EDGES = np.array([[0, 1], [0, 2], [0, 4], [1, 3], [1, 5], [2, 3],
+                      [2, 6], [3, 7], [4, 5], [4, 6], [5, 7], [6, 7]])
+
+
+def box_corners_3dfront(box7: np.ndarray, degrees: bool = True) -> np.ndarray:
+    """8 corners of a (l, h, w, px, py, pz, angle) box — the reference's
+    params_to_8points_3dfront (helpers/util.py:379-392): y spans [0, h]
+    (bottom-anchored), corners right-multiplied by get_rotation_3dfront
+    then translated to the box position."""
+    l, h, w, px, py, pz, angle = [float(v) for v in box7]
+    pts = []
+    for i in (-1, 1):
+        for j in (0, 1):
+            for k in (-1, 1):
+                pts.append([l / 2 * i, h * j, w / 2 * k])
+    pts = np.asarray(pts, np.float64) @ yaw_rotation(angle, degrees)
+    return pts + np.array([px, py, pz])
+
+
+def cylinder_between(p0: np.ndarray, p1: np.ndarray, radius: float = 0.02,
+                     sections: int = 8) -> Tuple[np.ndarray, np.ndarray]:
+    """Triangulated open cylinder from p0 to p1 (the reference draws box
+    outlines as one cylinder per edge: render/lineMesh.py LineMesh,
+    helpers/visualize_scene.py:196, radius 0.02)."""
+    p0 = np.asarray(p0, np.float64)
+    p1 = np.asarray(p1, np.float64)
+    axis = p1 - p0
+    length = np.linalg.norm(axis)
+    if length < 1e-12:
+        return np.zeros((0, 3)), np.zeros((0, 3), np.int64)
+    axis = axis / length
+    # orthonormal frame around the axis
+    ref = np.array([1.0, 0.0, 0.0])
+    if abs(axis @ ref) > 0.9:
+        ref = np.array([0.0, 1.0, 0.0])
+    u = np.cross(axis, ref)
+    u /= np.linalg.norm(u)
+    v = np.cross(axis, u)
+    ang = np.linspace(0, 2 * np.pi, sections, endpoint=False)
+    ring = (np.outer(np.cos(ang), u) + np.outer(np.sin(ang), v)) * radius
+    verts = np.concatenate([ring + p0, ring + p1], 0)
+    faces = []
+    for s in range(sections):
+        t = (s + 1) % sections
+        faces.append([s, t, s + sections])
+        faces.append([t, t + sections, s + sections])
+    return verts, np.asarray(faces, np.int64)
+
+
+def box_outline_mesh(box7: np.ndarray, degrees: bool = True,
+                     radius: float = 0.02, sections: int = 8
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """One merged triangle mesh tracing the 12 edges of a param7 box with
+    cylinders — the reference's bbox outline geometry
+    (helpers/visualize_scene.py:193-199 via render/lineMesh.py)."""
+    corners = box_corners_3dfront(box7, degrees)
+    verts_all, faces_all = [], []
+    off = 0
+    for e0, e1 in BOX_EDGES:
+        vv, ff = cylinder_between(corners[e0], corners[e1],
+                                  radius=radius, sections=sections)
+        if len(vv) == 0:
+            continue
+        verts_all.append(vv)
+        faces_all.append(ff + off)
+        off += len(vv)
+    if not verts_all:
+        return np.zeros((0, 3)), np.zeros((0, 3), np.int64)
+    return np.concatenate(verts_all, 0), np.concatenate(faces_all, 0)
+
+
 def angle_bin_to_degrees(bin_idx: int, num_bins: int = 24) -> float:
     """Reference decode convention (scripts/eval_3dfront.py:516):
     ``-180 + (bin + 1) * (360 / num_bins)`` — every rendered/exported yaw

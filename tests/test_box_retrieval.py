@@ -97,6 +97,9 @@ def test_eval_cli_box_retrieval_export(tmp_path):
     assert len(layouts) == 2
     objs = [fn for fn in os.listdir(out) if fn.endswith("_retrieval.obj")]
     assert objs, "no retrieved-mesh OBJ scenes written"
+    # bbox outline geometry present (reference render_boxes cylinder edges)
+    text = open(os.path.join(out, objs[0])).read()
+    assert "o bbox_" in text, "no bbox outline objects in retrieval OBJ"
     glbs = [fn for fn in os.listdir(out) if fn.endswith("_retrieval.glb")]
     assert glbs, "no retrieved-mesh GLB scenes written"
     raw = open(os.path.join(out, glbs[0]), "rb").read()

@@ -234,3 +234,48 @@ def test_fid_closed_form_diagonal():
     expected = 5.0 + (4 + 1 - 2 * 2.0) + (9 + 1 - 2 * 3.0)
     np.testing.assert_allclose(frechet_distance(mu1, s1, mu2, s2), expected,
                                rtol=1e-9)
+
+
+def test_box_outline_mesh_geometry(tmp_path):
+    """Cylinder-edge bbox outlines (reference helpers/visualize_scene.py:196
+    via render/lineMesh.py): 12 cylinders whose vertices sit exactly at
+    `radius` from their edge segment, corners per params_to_8points_3dfront
+    (helpers/util.py:379-392)."""
+    from commonscenes_tpu.eval.scene_export import (BOX_EDGES,
+                                                    box_corners_3dfront,
+                                                    box_outline_mesh)
+    box7 = np.array([2.0, 1.0, 1.5, 0.3, 0.0, -0.4, 30.0])
+    corners = box_corners_3dfront(box7, degrees=True)
+    # reference formula re-derived by hand: bottom-anchored y in [0, h],
+    # corners right-multiplied by the yaw rotation then translated
+    l, h, w = box7[:3]
+    base = np.array([[i * l / 2, j * h, k * w / 2]
+                     for i in (-1, 1) for j in (0, 1) for k in (-1, 1)])
+    y = np.deg2rad(30.0)
+    R = np.array([[np.cos(y), 0, -np.sin(y)], [0, 1, 0],
+                  [np.sin(y), 0, np.cos(y)]])
+    np.testing.assert_allclose(corners, base @ R + box7[3:6], atol=1e-12)
+
+    radius, sections = 0.02, 8
+    verts, faces = box_outline_mesh(box7, radius=radius, sections=sections)
+    assert verts.shape == (12 * 2 * sections, 3)
+    assert faces.shape == (12 * 2 * sections, 3)
+    assert faces.max() == len(verts) - 1 and faces.min() == 0
+    # every ring vertex lies at exactly `radius` from its edge segment
+    for e_idx, (e0, e1) in enumerate(BOX_EDGES):
+        seg0, seg1 = corners[e0], corners[e1]
+        d = seg1 - seg0
+        d = d / np.linalg.norm(d)
+        ring = verts[e_idx * 2 * sections:(e_idx + 1) * 2 * sections]
+        rel = ring - seg0
+        perp = rel - np.outer(rel @ d, d)
+        np.testing.assert_allclose(np.linalg.norm(perp, axis=1), radius,
+                                   atol=1e-9)
+
+    # OBJ export contains the outline geometry as its own object
+    path = str(tmp_path / "outline.obj")
+    export_obj(path, [(verts, faces)], ["bbox_0"])
+    text = open(path).read()
+    assert "o bbox_0" in text
+    assert text.count("\nv ") == len(verts)
+    assert text.count("\nf ") == len(faces)
