@@ -302,26 +302,42 @@ class CommonScenesV2Full:
             samples = ddim_sample(denoise_fn, tables, x_T, c_in, uc_in,
                                   uc_scale=uc_scale, cfg_fn=cfg_fn,
                                   eta_noise_key=k_eta)
-        gen_sdf = self._decode_latents(variables, samples)
+        gen_sdf = self._decode_latents(variables, samples,
+                                       slot_sharding=slot_sharding)
         if shape_mask is not None:
             gen_sdf = gen_sdf * shape_mask.reshape(-1, 1, 1, 1, 1)
         return gen_sdf
 
     def _decode_latents(self, variables, samples: jax.Array,
-                        max_chunk: Optional[int] = None) -> jax.Array:
+                        max_chunk: Optional[int] = None,
+                        slot_sharding=None) -> jax.Array:
         """First-stage decode [K, 16³, zc] → [K, 64³, 1], chunked when K is
         large: decoding K×64³ grids at once holds multi-GB activation
         buffers in HBM (the reference minibatches its DDIM+decode at 7 for
         the same reason, sdfusion_txt2shape_model.py:493-511). The chunk
-        body compiles once via ``lax.map``."""
+        body compiles once via ``lax.map``.
+
+        With ``slot_sharding`` (object-sharded latency mode) the chunked
+        reshape [K]→[K/chunk, chunk] would otherwise strip GSPMD's slot
+        sharding — the compiler gathers the latents and decodes replicated.
+        The chunk size is rounded up to a mesh multiple and the sharding is
+        re-pinned on every chunk and on the result, so each device decodes
+        only its own slots."""
         if max_chunk is None:
             import os
             max_chunk = int(os.environ.get("COMMONSCENES_DECODE_CHUNK",
                                            "16"))
+        if slot_sharding is not None:
+            n_dev = slot_sharding.mesh.devices.size
+            max_chunk = max(max_chunk, n_dev)
+            max_chunk += (-max_chunk) % n_dev
         K = samples.shape[0]
         if K <= max_chunk:
-            return self.vqvae.apply(variables["vqvae"], samples,
-                                    method=VQVAE3D.decode_no_quant)
+            out = self.vqvae.apply(variables["vqvae"], samples,
+                                   method=VQVAE3D.decode_no_quant)
+            if slot_sharding is not None:
+                out = jax.lax.with_sharding_constraint(out, slot_sharding)
+            return out
         # pad to a chunk multiple so the HBM guard holds for ANY K
         pad = (-K) % max_chunk
         if pad:
@@ -332,11 +348,19 @@ class CommonScenesV2Full:
                                  + samples.shape[1:])
 
         def body(c):
-            return self.vqvae.apply(variables["vqvae"], c,
-                                    method=VQVAE3D.decode_no_quant)
+            if slot_sharding is not None:
+                c = jax.lax.with_sharding_constraint(c, slot_sharding)
+            out = self.vqvae.apply(variables["vqvae"], c,
+                                   method=VQVAE3D.decode_no_quant)
+            if slot_sharding is not None:
+                out = jax.lax.with_sharding_constraint(out, slot_sharding)
+            return out
 
         out = jax.lax.map(body, chunks)
-        return out.reshape((K + pad,) + out.shape[2:])[:K]
+        out = out.reshape((K + pad,) + out.shape[2:])[:K]
+        if slot_sharding is not None:
+            out = jax.lax.with_sharding_constraint(out, slot_sharding)
+        return out
 
     # ------------------------------------------------------------------
     # manipulation-mode eval (reference decoder_with_changes / _additions +

@@ -243,3 +243,66 @@ def test_object_sharded_sampling_matches_unsharded():
         np.asarray(base["sdf"][:n_real], np.float32), atol=2e-2)
     # the sharded program really put the slot axis on the mesh
     assert not sharded["sdf"].sharding.is_fully_replicated
+
+
+def test_object_sharded_sampling_uneven_K(monkeypatch):
+    """Padded-slot sharding off the toy path: two scenes with DIFFERENT
+    object counts (5 + 6 → n_real=11) pack to K=16 slots over the 8-device
+    mesh — two slots per device, with the three pad slots landing mid-shard
+    — and a forced decode chunk of 8 makes the chunked ``lax.map`` VQ-VAE
+    decode (models/commonscenes.py:_decode_latents) run UNDER the slot
+    sharding. Output must match the unsharded program (reference semantics
+    protected: the serial mini-batch-of-7 sampling loop,
+    sdfusion_txt2shape_model.py:493-511)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tests.test_train_step import tiny_cfg, VOCAB
+    from commonscenes_tpu.data.collate import collate
+    from commonscenes_tpu.data.synthetic import make_scene
+    from commonscenes_tpu.eval.sampling import pack_slots
+    from commonscenes_tpu.models.commonscenes import CommonScenesV2Full
+
+    monkeypatch.setenv("COMMONSCENES_DECODE_CHUNK", "8")
+    cfg = tiny_cfg()
+    cfg = cfg.replace(batch=cfg.batch.__class__(
+        batch_size=2, max_objs=10, max_triples=48, diffusion_bs=2,
+        sdf_res=16))
+    rng = np.random.RandomState(7)
+    scenes = [make_scene(VOCAB, rng, num_objs=n, sdf_res=16, clip_dim=32)
+              for n in (5, 6)]
+    batch = collate(scenes, VOCAB, cfg.batch, rng, clip_dim=32,
+                    manipulation_modes=("addition", "relationship"),
+                    with_shapes=True)
+    model = CommonScenesV2Full(cfg, VOCAB.num_obj_classes,
+                               VOCAB.num_pred_classes)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    variables = {
+        "layout": {"params": variables["layout"]["params"],
+                   "batch_stats": variables["layout"]["batch_stats"]},
+        "df": {"params": variables["df"]["params"]},
+        "vqvae": {"params": variables["vqvae"]["params"]},
+    }
+    D = cfg.layout.box_embedding_dim + cfg.layout.angle_embedding_dim
+    slots, n_real = pack_slots(batch.dec.objs, batch.dec.obj_mask,
+                               VOCAB.scene_class_id, bucket=8)
+    assert n_real == 11 and len(slots) == 16  # uneven: K % n_real ≠ 0
+
+    mesh = make_mesh(8)
+    sharding = NamedSharding(mesh, P("data"))
+
+    def run(slot_sharding):
+        fn = jax.jit(lambda: model.sample(
+            variables, batch.dec, jnp.zeros(D), jnp.eye(D),
+            jax.random.PRNGKey(5), gen_shape=True,
+            shape_slot_idx=jnp.asarray(slots),
+            slot_sharding=slot_sharding))
+        return fn()
+
+    base = run(None)
+    with mesh:
+        sharded = run(sharding)
+    np.testing.assert_allclose(np.asarray(sharded["boxes"]),
+                               np.asarray(base["boxes"]), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(sharded["sdf"][:n_real], np.float32),
+        np.asarray(base["sdf"][:n_real], np.float32), atol=2e-2)
+    assert not sharded["sdf"].sharding.is_fully_replicated
