@@ -17,23 +17,9 @@ import numpy as np
 
 
 def box_mesh(box, angle_deg: float = 0.0):
-    """Box triangle mesh from (l, h, w, px, py, pz), yawed by angle_deg —
-    GT box proxies must carry the same rotation the SDF/predicted meshes
-    get, or FID measures a rotation-distribution gap instead of quality."""
-    l, h, w, px, py, pz = box[:6]
-    xs = np.array([-w / 2, w / 2])
-    ys = np.array([0.0, h])
-    zs = np.array([-l / 2, l / 2])
-    verts = np.array([[x, y, z] for x in xs for y in ys for z in zs])
-    if angle_deg:
-        from commonscenes_tpu.eval.scene_export import yaw_rotation
-        verts = verts @ yaw_rotation(angle_deg).T
-    verts += np.array([px, py, pz])
-    faces = np.array([
-        [0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
-        [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
-        [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]])
-    return verts, faces
+    """Solid-box proxy mesh (shared helper in eval/scene_export.py)."""
+    from commonscenes_tpu.eval.scene_export import solid_box_mesh
+    return solid_box_mesh(box, angle_deg=angle_deg)
 
 
 def main(argv=None):
@@ -48,6 +34,11 @@ def main(argv=None):
                         " renders crop to the populated area)")
     p.add_argument("--without_lamp", action="store_true")
     p.add_argument("--no_stool", action="store_true")
+    p.add_argument("--sdf_out", default="",
+                   help="also dump GT SDF grids as <scan>_sdf.npz + "
+                        "layouts.json — the reference set for "
+                        "cli/compute_mmd_cov_1nn.py (PointFlow protocol, "
+                        "reference compute_mmd_cov_1nn.py:417-449)")
     args = p.parse_args(argv)
 
     from commonscenes_tpu.data.synthetic import denormalize_boxes
@@ -77,12 +68,26 @@ def main(argv=None):
     root = vocab.scene_class_id
 
     os.makedirs(args.out, exist_ok=True)
+    if args.sdf_out:
+        os.makedirs(args.sdf_out, exist_ok=True)
+    gt_layouts = []
     # per-split denormalization stats (same policy as eval_3dfront — GT and
     # generated layouts must live in the same coordinate scale for FID)
     box_mean = getattr(ds, "box_mean", None)
     box_std = getattr(ds, "box_std", None)
     for i in range(min(args.num_scenes, len(ds))):
         scene = ds[i]
+        if args.sdf_out and scene.sdfs is not None \
+                and scene.has_sdf is not None:
+            gt_slots = [k for k in range(scene.num_objs)
+                        if scene.has_sdf[k]]
+            if gt_slots:
+                np.savez_compressed(
+                    os.path.join(args.sdf_out, f"{scene.scan_id}_sdf.npz"),
+                    sdf=np.asarray(scene.sdfs, np.float32)[gt_slots],
+                    slots=np.asarray(gt_slots, np.int32))
+                gt_layouts.append({"scan_id": scene.scan_id,
+                                   "objs": np.asarray(scene.objs).tolist()})
         boxes = denormalize_boxes(scene.boxes, mean=box_mean, std=box_std)
         meshes, classes = [], []
         for k in range(scene.num_objs):
@@ -104,6 +109,11 @@ def main(argv=None):
         img = render_topdown(meshes, classes, resolution=args.resolution,
                              extent=args.extent)
         save_png(os.path.join(args.out, f"{scene.scan_id}.png"), img)
+    if args.sdf_out and gt_layouts:
+        import json
+        with open(os.path.join(args.sdf_out, "layouts.json"), "w") as f:
+            json.dump(gt_layouts, f)
+        print(f"[*] wrote {len(gt_layouts)} GT SDF sets to {args.sdf_out}")
     print(f"[*] wrote {min(args.num_scenes, len(ds))} renders to {args.out}")
 
 

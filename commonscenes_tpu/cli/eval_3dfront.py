@@ -51,6 +51,12 @@ def build_parser():
     p.add_argument("--manipulation", default="none",
                    choices=["none", "relationship", "addition"])
     p.add_argument("--export_dir", default="")
+    p.add_argument("--render_dir", default="",
+                   help="write top-down PNGs of predicted scenes here (the "
+                        "FID/KID fake set, camera-matched to "
+                        "collect_gt_renders)")
+    p.add_argument("--render_res", type=int, default=256)
+    p.add_argument("--render_extent", type=float, default=8.0)
     p.add_argument("--seed", type=int, default=47)
     p.add_argument("--sampler", default="ddim", choices=["ddim", "plms"],
                    help="shape sampler (the reference ships PLMS unwired)")
@@ -89,8 +95,14 @@ def _batch_cfg(cfg, batch_size):
 
 
 def _export_scene(export_dir, scene, vocab, b, bi, boxes_d, angles_row,
-                  sdfs=None, slot_rows=None, retrieved=None, box_retr=None):
-    """Per-scene exports: DOT graph, layout row, optional OBJ/NPZ meshes."""
+                  sdfs=None, slot_rows=None, retrieved=None, box_retr=None,
+                  render_dir=None, render_res=256, render_extent=8.0):
+    """Per-scene exports: DOT graph, layout row, optional OBJ/NPZ meshes,
+    and (with ``render_dir``) a top-down PNG of the predicted scene — the
+    fake set for FID/KID, camera-matched to cli/collect_gt_renders.py
+    (reference render pipeline: scripts/collect_gt_sdf_images.py:55-60)."""
+    render_meshes, render_classes = [], []
+    render_slots = set()    # scene slots already covered by a real mesh
     import jax  # noqa: F401  (kept lazy)
     from commonscenes_tpu.eval.graph_viz import export_dot
     N = b.dec.objs.shape[1]
@@ -139,6 +151,11 @@ def _export_scene(export_dir, scene, vocab, b, bi, boxes_d, angles_row,
         cols = [DEFAULT_PALETTE[int(objs_row[sel[r["slot"]]])
                                 % len(DEFAULT_PALETTE)]
                 for r in recs if "mesh" in r]
+        for r in recs:
+            if "mesh" in r:  # renders exclude the bbox outlines (GT has none)
+                render_meshes.append(r["mesh"])
+                render_classes.append(int(objs_row[sel[r["slot"]]]))
+                render_slots.add(int(sel[r["slot"]]))
         # bbox outline geometry per real slot — object-colored cylinder
         # edges like the reference render_boxes path
         # (helpers/visualize_scene.py:193-199: 12 cylinders, radius 0.02)
@@ -196,6 +213,9 @@ def _export_scene(export_dir, scene, vocab, b, bi, boxes_d, angles_row,
             names.append(f"{vocab.obj_classes[int(objs_row[slot])]}_{kk}")
             cols.append(DEFAULT_PALETTE[int(objs_row[slot])
                                         % len(DEFAULT_PALETTE)])
+            render_meshes.append((vv, ff))
+            render_classes.append(int(objs_row[slot]))
+            render_slots.add(slot)
         if meshes:
             export_obj(os.path.join(export_dir, f"{scene.scan_id}.obj"),
                        meshes, names)
@@ -203,6 +223,28 @@ def _export_scene(export_dir, scene, vocab, b, bi, boxes_d, angles_row,
             # (helpers/visualize_scene.py:256,359,443)
             export_glb(os.path.join(export_dir, f"{scene.scan_id}.glb"),
                        meshes, names, colors=cols)
+    if render_dir:
+        from commonscenes_tpu.eval.scene_export import (angle_bin_to_degrees,
+                                                        render_topdown,
+                                                        save_png,
+                                                        solid_box_mesh)
+        # slots with no generated/retrieved mesh fall back to solid-box
+        # proxies — the SAME fallback collect_gt_renders uses for the real
+        # set, so FID compares layout quality, not mesh availability
+        for j in range(N):
+            if not mask[j] or int(objs_row[j]) == vocab.scene_class_id \
+                    or j in render_slots:
+                continue
+            bv, bf = solid_box_mesh(
+                boxes_d[bi * N + j],
+                angle_deg=angle_bin_to_degrees(int(angles_row[bi * N + j])))
+            render_meshes.append((bv, bf))
+            render_classes.append(int(objs_row[j]))
+        if render_meshes:
+            os.makedirs(render_dir, exist_ok=True)
+            img = render_topdown(render_meshes, render_classes,
+                                 resolution=render_res, extent=render_extent)
+            save_png(os.path.join(render_dir, f"{scene.scan_id}.png"), img)
     return rec
 
 
@@ -622,7 +664,10 @@ def main(argv=None):
                     export.append(_export_scene(
                         args.export_dir, scenes[bi], vocab, b, bi, boxes_d,
                         angles_row, sdfs=sd_rows, slot_rows=slot_rows,
-                        retrieved=retr, box_retr=box_retr))
+                        retrieved=retr, box_retr=box_retr,
+                        render_dir=args.render_dir,
+                        render_res=args.render_res,
+                        render_extent=args.render_extent))
             scenes_done += n_valid
 
     dt = time.time() - t_start

@@ -109,6 +109,27 @@ def cylinder_between(p0: np.ndarray, p1: np.ndarray, radius: float = 0.02,
     return verts, np.asarray(faces, np.int64)
 
 
+def solid_box_mesh(box, angle_deg: float = 0.0
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Solid box triangle mesh from (l, h, w, px, py, pz), yawed by
+    angle_deg — box proxies must carry the same rotation real meshes get,
+    or FID measures a rotation-distribution gap instead of quality
+    (reference render_boxes geometry, helpers/visualize_scene.py:193-199)."""
+    l, h, w, px, py, pz = [float(v) for v in box[:6]]
+    xs = np.array([-w / 2, w / 2])
+    ys = np.array([0.0, h])
+    zs = np.array([-l / 2, l / 2])
+    verts = np.array([[x, y, z] for x in xs for y in ys for z in zs])
+    if angle_deg:
+        verts = verts @ yaw_rotation(angle_deg).T
+    verts += np.array([px, py, pz])
+    faces = np.array([
+        [0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+        [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+        [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]])
+    return verts, faces
+
+
 def box_outline_mesh(box7: np.ndarray, degrees: bool = True,
                      radius: float = 0.02, sections: int = 8
                      ) -> Tuple[np.ndarray, np.ndarray]:

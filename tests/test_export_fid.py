@@ -279,3 +279,46 @@ def test_box_outline_mesh_geometry(tmp_path):
     assert "o bbox_0" in text
     assert text.count("\nv ") == len(verts)
     assert text.count("\nf ") == len(faces)
+
+
+def test_solid_box_mesh_geometry():
+    """solid_box_mesh: closed 12-face box spanning (l,h,w) at (px,py,pz),
+    rotated by yaw — the shared render proxy for GT and predicted sets."""
+    from commonscenes_tpu.eval.scene_export import solid_box_mesh
+    v, f = solid_box_mesh(np.array([2.0, 1.0, 0.5, 3.0, 0.0, -1.0]))
+    assert v.shape == (8, 3) and f.shape == (12, 3)
+    # extents: x=w, y=h (bottom-anchored), z=l
+    np.testing.assert_allclose(v[:, 0].max() - v[:, 0].min(), 0.5)
+    np.testing.assert_allclose(v[:, 1].min(), 0.0)
+    np.testing.assert_allclose(v[:, 1].max(), 1.0)
+    np.testing.assert_allclose(v[:, 2].max() - v[:, 2].min(), 2.0)
+    np.testing.assert_allclose(v.mean(0), [3.0, 0.5, -1.0], atol=1e-9)
+    # 90° yaw swaps the footprint axes
+    v90, _ = solid_box_mesh(np.array([2.0, 1.0, 0.5, 0, 0, 0]),
+                            angle_deg=90.0)
+    np.testing.assert_allclose(v90[:, 0].max() - v90[:, 0].min(), 2.0,
+                               atol=1e-9)
+
+
+def test_collect_gt_renders_sdf_out(tmp_path):
+    """--sdf_out writes the MMD reference set: per-scan GT SDF npz (real
+    slots only) + layouts.json mapping slots to classes."""
+    import json
+    from commonscenes_tpu.cli.collect_gt_renders import main
+    out = str(tmp_path / "r")
+    sdf_out = str(tmp_path / "s")
+    main(["--dataset", "synthetic", "--out", out, "--num_scenes", "2",
+          "--resolution", "32", "--sdf_out", sdf_out])
+    files = sorted(os.listdir(sdf_out))
+    assert "layouts.json" in files
+    npzs = [f for f in files if f.endswith("_sdf.npz")]
+    assert len(npzs) == 2
+    d = np.load(os.path.join(sdf_out, npzs[0]))
+    assert d["sdf"].ndim == 4 and len(d["slots"]) == len(d["sdf"])
+    layouts = json.load(open(os.path.join(sdf_out, "layouts.json")))
+    assert all("scan_id" in e and "objs" in e for e in layouts)
+    # the MMD loader consumes this directory directly
+    from commonscenes_tpu.cli.compute_mmd_cov_1nn import load_sdf_dir
+    by_class = load_sdf_dir(sdf_out)
+    assert sum(len(v) for v in by_class.values()) == sum(
+        len(np.load(os.path.join(sdf_out, f))["sdf"]) for f in npzs)
