@@ -86,8 +86,14 @@ def main(argv=None):
                     os.path.join(args.sdf_out, f"{scene.scan_id}_sdf.npz"),
                     sdf=np.asarray(scene.sdfs, np.float32)[gt_slots],
                     slots=np.asarray(gt_slots, np.int32))
-                gt_layouts.append({"scan_id": scene.scan_id,
-                                   "objs": np.asarray(scene.objs).tolist()})
+                entry = {"scan_id": scene.scan_id,
+                         "objs": np.asarray(scene.objs).tolist()}
+                if getattr(scene, "instance_ids", None) is not None:
+                    # slot -> dataset instance id (consistency_check maps
+                    # the reference's instance-id pair lists through this)
+                    entry["instance_ids"] = np.asarray(
+                        scene.instance_ids).tolist()
+                gt_layouts.append(entry)
         boxes = denormalize_boxes(scene.boxes, mean=box_mean, std=box_std)
         meshes, classes = [], []
         for k in range(scene.num_objs):

@@ -1,0 +1,80 @@
+#!/usr/bin/env bash
+# End-to-end metrics chain: fixture tree -> brief v2_full train -> full eval
+# report (SCA table, diversity, MMD/COV/1-NN, FID/KID, consistency) — the
+# deliverable the reference's scripts/eval_3dfront.py:764-780 prints,
+# produced by this framework's CLIs on one machine.
+#
+# Usage:  OUT=EVAL_r04 bash tools/run_eval_chain.sh
+# Env:    TREE  fixture tree root     (default /tmp/sgfix_eval)
+#         EXP   experiment dir        (default /tmp/exp_eval_r04)
+#         OUT   report output dir     (default EVAL_r04)
+#         NEPOCH/STEPS/BS  training length (default 30 epochs x 3 steps, b4)
+#
+# Proxy disclosure: FID/KID and consistency use labeled offline feature
+# extractors (no Inception/CLIP weights are downloadable in this
+# environment); the metric MATH is golden-tested against the reference
+# protocol (tests/test_metrics_parity.py, test_export_fid.py).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+TREE=${TREE:-/tmp/sgfix_eval}
+EXP=${EXP:-/tmp/exp_eval_r04}
+OUT=${OUT:-EVAL_r04}
+NEPOCH=${NEPOCH:-30}
+STEPS=${STEPS:-3}
+BS=${BS:-4}
+NUM_EVAL=${NUM_EVAL:-6}
+LAST=$((NEPOCH - 1))
+
+mkdir -p "$OUT"
+
+echo "=== [1/8] fixture tree ==="
+python -m commonscenes_tpu.data.fixture --out "$TREE" --train 12 --test 6 \
+    --seed 0 | tee "$OUT/fixture_manifest.json"
+
+echo "=== [2/8] validate tree ==="
+python -m commonscenes_tpu.cli.validate_dataset --root "$TREE" \
+    --room_type bedroom --strict | tail -1 > "$OUT/validate.json"
+
+echo "=== [3/8] train v2_full (brief) ==="
+python -m commonscenes_tpu.cli.train_3dfront --network_type v2_full \
+    --dataset "$TREE" --nepoch "$NEPOCH" --steps_per_epoch "$STEPS" \
+    --batchSize "$BS" --max_objs 10 --max_triples 48 --exp "$EXP" \
+    --vis_every 0 2>&1 | tail -5
+cp "$EXP/logs/loss_log.txt" "$OUT/loss_log.txt" 2>/dev/null || true
+
+echo "=== [4/8] eval: SCA + diversity + exports + renders ==="
+python -m commonscenes_tpu.cli.eval_3dfront --exp "$EXP" --epoch "$LAST" \
+    --dataset "$TREE" --num_scenes "$NUM_EVAL" --gen_shape True \
+    --evaluate_diversity True --num_samples 3 \
+    --export_dir "$OUT/exports" --render_dir "$OUT/renders" \
+    --manipulation none | tee "$OUT/sca_report.json"
+
+echo "=== [5/8] eval: manipulation (relationship) SCA ==="
+python -m commonscenes_tpu.cli.eval_3dfront --exp "$EXP" --epoch "$LAST" \
+    --dataset "$TREE" --num_scenes "$NUM_EVAL" --gen_shape True \
+    --manipulation relationship | tee "$OUT/sca_relationship.json"
+
+echo "=== [6/8] GT sets: renders + SDF grids ==="
+python -m commonscenes_tpu.cli.collect_gt_renders --dataset "$TREE" \
+    --out "$OUT/gt_renders" --sdf_out "$OUT/gt_sdfs" \
+    --num_scenes "$NUM_EVAL"
+
+echo "=== [7/8] MMD/COV/1-NN + FID/KID ==="
+python -m commonscenes_tpu.cli.compute_mmd_cov_1nn \
+    --path_sample "$OUT/exports" --path_ref "$OUT/gt_sdfs" \
+    --n_points 1024 | tee "$OUT/mmd_cov_1nn.json"
+python -m commonscenes_tpu.cli.compute_fid --path_gt "$OUT/gt_renders" \
+    --path_pred "$OUT/renders" | tee "$OUT/fid.json"
+
+echo "=== [8/8] consistency ==="
+python -m commonscenes_tpu.cli.collect_consistency --dataset "$TREE" \
+    --room_type bedroom --split test \
+    --out "$OUT/consistencies_bedroom_test.json"
+python -m commonscenes_tpu.cli.consistency_check \
+    --export_dir "$OUT/exports" \
+    --pairs_json "$OUT/consistencies_bedroom_test.json" \
+    | tee "$OUT/consistency.json"
+
+echo "=== report files in $OUT ==="
+ls -la "$OUT"
