@@ -52,6 +52,27 @@ MATRIX = {
     "winograd_pallas": {"COMMONSCENES_CONV_WINO": "pallas"},
     "winograd_pallas_gn0": {"COMMONSCENES_CONV_WINO": "pallas",
                             "COMMONSCENES_FUSED_GN": "0"},
+    # --- round-4 second wave: combos around the skip_split_off winner ---
+    "ss_off_cfg_dedup_off": {"COMMONSCENES_SKIP_SPLIT": "0",
+                             "COMMONSCENES_CFG_DEDUP": "0"},
+    "ss_off_upsample_naive": {"COMMONSCENES_SKIP_SPLIT": "0",
+                              "COMMONSCENES_UPSAMPLE": "naive"},
+    "ss_off_gn0": {"COMMONSCENES_SKIP_SPLIT": "0",
+                   "COMMONSCENES_FUSED_GN": "0"},
+    "ss_off_flash0": {"COMMONSCENES_SKIP_SPLIT": "0",
+                      "COMMONSCENES_FLASH": "0"},
+    "ss_off_fused_attn0": {"COMMONSCENES_SKIP_SPLIT": "0",
+                           "COMMONSCENES_FUSED_ATTN": "0"},
+    "ss_off_fused_ffn0": {"COMMONSCENES_SKIP_SPLIT": "0",
+                          "COMMONSCENES_FUSED_FFN": "0"},
+    "ss_off_train": {"COMMONSCENES_SKIP_SPLIT": "0", "BENCH_TRAIN": "8"},
+    # batched-eval cells (VERDICT r3 #5): compare
+    # extra.eval_scenes_per_sec_batched across decode chunk sizes
+    "ss_off_eval_b2": {"COMMONSCENES_SKIP_SPLIT": "0",
+                       "BENCH_EVAL_SCENES": "2"},
+    "ss_off_eval_b2_chunk4": {"COMMONSCENES_SKIP_SPLIT": "0",
+                              "BENCH_EVAL_SCENES": "2",
+                              "COMMONSCENES_DECODE_CHUNK": "4"},
 }
 
 BASE_ENV = {

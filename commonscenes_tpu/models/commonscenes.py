@@ -283,10 +283,14 @@ class CommonScenesV2Full:
             return self.denoiser.apply(variables["df"], x, t, c,
                                        inference=True)
 
+        import os as _os
         cfg_fn = None
-        if cfg.diffusion.conditioning_key == "crossattn":
+        if (cfg.diffusion.conditioning_key == "crossattn"
+                and _os.environ.get("COMMONSCENES_CFG_DEDUP", "1") != "0"):
             # CFG-deduped forward: the uncond/cond halves share the
-            # context-free UNet prefix (nn/unet3d.py cfg_pair)
+            # context-free UNet prefix (nn/unet3d.py cfg_pair).
+            # COMMONSCENES_CFG_DEDUP=0 restores the naive doubled-batch
+            # forward for end-to-end A/B.
             def cfg_fn(x, t, c_full):  # noqa: F811
                 return self.denoiser.apply(variables["df"], x, t, c_full,
                                            cfg_pair=True, inference=True)
