@@ -69,6 +69,13 @@ def _plan(B: int, D: int, H: int, W: int, Cin: int, Cout: int,
                        Cout // 7):
                 if co <= 0 or Cout % co:
                     continue
+                # Mosaic lowering constraint: the LAST block dim must be a
+                # lane multiple (128) or span the whole array axis — a
+                # 224-wide Co block on a 448 axis is rejected at compile
+                # time (measured on v5e, ABRESULTS_r04: winograd_pallas
+                # rc=1), so such plans must never leave the planner
+                if co != Cout and co % 128:
+                    continue
                 w_b = 64 * Cin * co * 2
                 cells = 2 * 2 * b_blk * T_cd * (nH + 1) * (nW + 1) * 8 * Cin * 2
                 y_b = 8 * rows * co * 4
