@@ -395,10 +395,16 @@ class UNet3D(nn.Module):
                 # a skip still at batch K under a doubled h is context-free
                 # (recorded before the first cross-attention)
                 untiled = skip.shape[0] * 2 == h.shape[0]
+                # default OFF since round 4: the split was measured to LOSE
+                # 6.9% end-to-end on v5e (ABRESULTS_r04 skip_split_off
+                # 0.1610 vs default 0.1506; the seam handling fragments the
+                # decoder convs XLA would otherwise fuse+batch at 2K).
+                # CFG-dedup and the decomposed upsample from the same
+                # family were re-measured as wins and stay on.
                 if untiled and skip_split_supported(h.shape[-1],
                                                     skip.shape[-1], ch) \
                         and os.environ.get("COMMONSCENES_SKIP_SPLIT",
-                                           "1") != "0":
+                                           "0") == "1":
                     h = ResBlock3D(ch, cfg.dropout, dtype=self.dtype,
                                    name=f"up_res_{block}")(
                         h, emb, deterministic, skip=skip)

@@ -36,9 +36,13 @@ def unet_forward_flops(cfg: UNetConfig, batch: int,
     When ``cfg_pair_base > 0``, decoder blocks whose skip was recorded
     before the first attention run the skip-side norm1/conv1/residual-
     projection once at K (nn/unet3d.py ResBlock3D split form, gated by
-    skip_split_supported).
+    skip_split_supported AND the COMMONSCENES_SKIP_SPLIT env knob — the
+    accounting must mirror the runtime gate or executed-FLOP numbers
+    drift from the program actually run).
     """
+    import os
     from commonscenes_tpu.nn.unet3d import skip_split_supported
+    split_on = os.environ.get("COMMONSCENES_SKIP_SPLIT", "0") == "1"
     S = cfg.image_size
     mc = cfg.model_channels
     total = 0.0
@@ -119,7 +123,7 @@ def unet_forward_flops(cfg: UNetConfig, batch: int,
         cout = mc * mult
         for i in range(cfg.num_res_blocks + 1):
             svox, sch, shared = skips.pop()
-            if shared and skip_split_supported(ch, sch, cout):
+            if shared and split_on and skip_split_supported(ch, sch, cout):
                 from commonscenes_tpu.nn.unet3d import _gn_groups
                 sk = cfg_pair_base / float(batch)
                 in_ch = ch + sch

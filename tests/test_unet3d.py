@@ -116,14 +116,15 @@ def test_cfg_pair_matches_naive_doubled_batch():
     np.testing.assert_allclose(np.asarray(dedup), np.asarray(naive),
                                rtol=1e-5, atol=1e-6)
 
-    # the decoder skip-split (context-free skip halves computed once at K)
-    # must agree with its tiled fallback — patch the env var so any
+    # the decoder skip-split (context-free skip halves computed once at K;
+    # OFF by default since round 4 — measured to lose end-to-end) must
+    # agree with the default tiled path — patch the env var so any
     # pre-existing export is restored afterwards (a bare del clobbered it)
     from unittest import mock
     import os
-    with mock.patch.dict(os.environ, {"COMMONSCENES_SKIP_SPLIT": "0"}):
-        nosplit = m.apply(v, x, t, c_full, cfg_pair=True)
-    np.testing.assert_allclose(np.asarray(dedup), np.asarray(nosplit),
+    with mock.patch.dict(os.environ, {"COMMONSCENES_SKIP_SPLIT": "1"}):
+        split = m.apply(v, x, t, c_full, cfg_pair=True)
+    np.testing.assert_allclose(np.asarray(dedup), np.asarray(split),
                                rtol=1e-5, atol=1e-6)
 
 
@@ -151,18 +152,26 @@ def test_flops_accounting_dedup_and_split():
     import commonscenes_tpu.nn.unet3d as u3
     from commonscenes_tpu.core.config import UNetConfig as UC
     from commonscenes_tpu.utils.flops import unet_forward_flops
+    from unittest import mock
+    import os
     cfg = UC()  # reference sdfusion-txt2shape operating point
     K = 8
-    naive = unet_forward_flops(cfg, 2 * K)
-    dedup = unet_forward_flops(cfg, 2 * K, cfg_pair_base=K)
-    assert dedup < naive
+    # the accounting mirrors the runtime knob (split OFF by default since
+    # round 4) — pin it ON here to check the split term's closed form
+    with mock.patch.dict(os.environ, {"COMMONSCENES_SKIP_SPLIT": "1"}):
+        naive = unet_forward_flops(cfg, 2 * K)
+        dedup = unet_forward_flops(cfg, 2 * K, cfg_pair_base=K)
+        assert dedup < naive
 
-    orig = u3.skip_split_supported
-    u3.skip_split_supported = lambda *a: False
-    try:
-        dedup_nosplit = unet_forward_flops(cfg, 2 * K, cfg_pair_base=K)
-    finally:
-        u3.skip_split_supported = orig
+        orig = u3.skip_split_supported
+        u3.skip_split_supported = lambda *a: False
+        try:
+            dedup_nosplit = unet_forward_flops(cfg, 2 * K,
+                                               cfg_pair_base=K)
+        finally:
+            u3.skip_split_supported = orig
+    # with the knob at its default (off), the split term vanishes
+    assert unet_forward_flops(cfg, 2 * K, cfg_pair_base=K) == dedup_nosplit
     vox = cfg.image_size ** 3
     mc = cfg.model_channels
 
