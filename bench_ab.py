@@ -73,6 +73,9 @@ MATRIX = {
     "ss_off_eval_b2_chunk4": {"COMMONSCENES_SKIP_SPLIT": "0",
                               "BENCH_EVAL_SCENES": "2",
                               "COMMONSCENES_DECODE_CHUNK": "4"},
+    "ss_off_eval_b2_chunk32": {"COMMONSCENES_SKIP_SPLIT": "0",
+                               "BENCH_EVAL_SCENES": "2",
+                               "COMMONSCENES_DECODE_CHUNK": "32"},
 }
 
 BASE_ENV = {
