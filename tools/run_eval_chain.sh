@@ -5,6 +5,7 @@
 # produced by this framework's CLIs on one machine.
 #
 # Usage:  OUT=EVAL_r04 bash tools/run_eval_chain.sh
+#         FROM=4 OUT=EVAL_r04 bash tools/run_eval_chain.sh   # resume at step 4
 # Env:    TREE  fixture tree root     (default /tmp/sgfix_eval)
 #         EXP   experiment dir        (default /tmp/exp_eval_r04)
 #         OUT   report output dir     (default EVAL_r04)
@@ -26,39 +27,54 @@ BS=${BS:-4}
 NUM_EVAL=${NUM_EVAL:-6}
 LAST=$((NEPOCH - 1))
 
+FROM=${FROM:-1}   # resume from step N (tunnel flakiness can kill a run
+                  # mid-chain; completed artifacts in $OUT/$EXP are reused)
+
 mkdir -p "$OUT"
 
+if [ "$FROM" -le 1 ]; then
 echo "=== [1/8] fixture tree ==="
 python -m commonscenes_tpu.data.fixture --out "$TREE" --train 12 --test 6 \
     --seed 0 | tee "$OUT/fixture_manifest.json"
+fi
 
+if [ "$FROM" -le 2 ]; then
 echo "=== [2/8] validate tree ==="
 python -m commonscenes_tpu.cli.validate_dataset --root "$TREE" \
     --room_type bedroom --strict | tail -1 > "$OUT/validate.json"
+fi
 
+if [ "$FROM" -le 3 ]; then
 echo "=== [3/8] train v2_full (brief) ==="
 python -m commonscenes_tpu.cli.train_3dfront --network_type v2_full \
     --dataset "$TREE" --nepoch "$NEPOCH" --steps_per_epoch "$STEPS" \
     --batchSize "$BS" --max_objs 10 --max_triples 48 --exp "$EXP" \
     --vis_every 0 2>&1 | tail -5
+fi
 cp "$EXP/logs/loss_log.txt" "$OUT/loss_log.txt" 2>/dev/null || true
 
+if [ "$FROM" -le 4 ]; then
 echo "=== [4/8] eval: SCA + diversity + exports + renders ==="
 python -m commonscenes_tpu.cli.eval_3dfront --exp "$EXP" --epoch "$LAST" \
     --dataset "$TREE" --num_scenes "$NUM_EVAL" --gen_shape True \
     --evaluate_diversity True --num_samples 3 \
     --export_dir "$OUT/exports" --render_dir "$OUT/renders" \
     --manipulation none | tee "$OUT/sca_report.json"
+fi
 
+if [ "$FROM" -le 5 ]; then
 echo "=== [5/8] eval: manipulation (relationship) SCA ==="
 python -m commonscenes_tpu.cli.eval_3dfront --exp "$EXP" --epoch "$LAST" \
     --dataset "$TREE" --num_scenes "$NUM_EVAL" --gen_shape True \
     --manipulation relationship | tee "$OUT/sca_relationship.json"
+fi
 
+if [ "$FROM" -le 6 ]; then
 echo "=== [6/8] GT sets: renders + SDF grids ==="
 python -m commonscenes_tpu.cli.collect_gt_renders --dataset "$TREE" \
     --out "$OUT/gt_renders" --sdf_out "$OUT/gt_sdfs" \
     --num_scenes "$NUM_EVAL"
+fi
 
 echo "=== [7/8] MMD/COV/1-NN + FID/KID ==="
 python -m commonscenes_tpu.cli.compute_mmd_cov_1nn \
