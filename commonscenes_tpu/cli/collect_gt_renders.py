@@ -23,6 +23,8 @@ def box_mesh(box, angle_deg: float = 0.0):
 
 
 def main(argv=None):
+    from commonscenes_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dataset", default="synthetic")
     p.add_argument("--room_type", default="bedroom")

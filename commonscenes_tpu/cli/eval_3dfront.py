@@ -250,6 +250,8 @@ def _export_scene(export_dir, scene, vocab, b, bi, boxes_d, angles_row,
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from commonscenes_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
 
     import jax
     import jax.numpy as jnp

@@ -33,6 +33,8 @@ def _box_mesh():
 
 
 def main(argv=None):
+    from commonscenes_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--exp", default="./experiments/layout_test")
     p.add_argument("--epoch", type=int, default=90)

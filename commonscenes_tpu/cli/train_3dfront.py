@@ -77,6 +77,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="render generated-vs-GT shapes every N steps "
                         "(v2_full only; 0 = off; reference "
                         "train_3dfront.py:442-446)")
+    p.add_argument("--log_every", type=int, default=100,
+                   help="scalar-log cadence in steps (reference Visualizer "
+                        "print_freq, scripts/train_3dfront.py:330)")
     p.add_argument("--debug_nans", type=bool_flag, default=False,
                    help="enable jax_debug_nans: every jitted program "
                         "re-runs un-jitted on a NaN and raises at the "
@@ -120,6 +123,8 @@ def build_config(args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from commonscenes_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
 
     import jax
 
@@ -320,7 +325,7 @@ def main(argv=None):
                     state, metrics = trainer.train_step(state, batch, sub)
                 counter += 1
                 steps_done += 1
-                if counter % 100 == 0:
+                if args.log_every and counter % args.log_every == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     logger.log(counter, m)
                     logger.message(

@@ -49,7 +49,7 @@ echo "=== [3/8] train v2_full (brief) ==="
 python -m commonscenes_tpu.cli.train_3dfront --network_type v2_full \
     --dataset "$TREE" --nepoch "$NEPOCH" --steps_per_epoch "$STEPS" \
     --batchSize "$BS" --max_objs 10 --max_triples 48 --exp "$EXP" \
-    --vis_every 0 2>&1 | tail -5
+    --vis_every 0 --log_every 10 2>&1 | tail -5
 fi
 cp "$EXP/logs/loss_log.txt" "$OUT/loss_log.txt" 2>/dev/null || true
 
