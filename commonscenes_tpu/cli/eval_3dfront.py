@@ -60,6 +60,13 @@ def build_parser():
     p.add_argument("--seed", type=int, default=47)
     p.add_argument("--sampler", default="ddim", choices=["ddim", "plms"],
                    help="shape sampler (the reference ships PLMS unwired)")
+    p.add_argument("--staged_sample", default=True,
+                   type=lambda s: s.lower() in ("1", "true", "yes"),
+                   help="jit layout/denoise/decode as separate stages "
+                        "(numerically identical; each stage compiles and "
+                        "caches independently, so a dropped TPU tunnel "
+                        "mid-compile resumes instead of starting over; "
+                        "False = the single fused program bench.py times)")
     # TPU-native batching knobs
     p.add_argument("--eval_batch", type=int, default=0,
                    help="scenes per jitted sampling call; 0 = auto "
@@ -485,7 +492,64 @@ def main(argv=None):
     # ------------------------------------------------------------------
     gen_shapes = bool(args.gen_shape and with_shapes)
 
-    if not v1_full:
+    if not v1_full and args.staged_sample:
+        # Staged sampling: layout / denoise / decode as SEPARATE jits.
+        # Numerically identical to the fused model.sample program (same
+        # key splits, same ops — models/commonscenes.py sample_layout),
+        # but each stage compiles and persists to the compile cache on its
+        # own: the fused program is a single ~40-minute compile on the
+        # tunneled device, longer than the tunnel's observed stable window,
+        # so a mid-compile drop used to lose everything. The manipulation
+        # path reuses the SAME denoise/decode executables.
+        def _staged(name, f):
+            state = {"new": True}
+
+            def g(*a):
+                if state["new"]:
+                    t0 = time.time()
+                    print(f"[*] compiling {name} stage...", flush=True)
+                    r = f(*a)
+                    jax.block_until_ready(r)
+                    print(f"[*] {name} stage ready "
+                          f"({time.time() - t0:.0f}s)", flush=True)
+                    state["new"] = False
+                    return r
+                return f(*a)
+            return g
+
+        lay_fn = _staged("layout", jax.jit(
+            lambda dec, k: model.sample_layout(variables, dec, mean_j,
+                                               chol_j, k)))
+        mlay_fn = _staged("manip-layout", jax.jit(
+            lambda batch, k: model.manipulate_layout(variables, batch, k)))
+        lat_fn = _staged("denoise", jax.jit(
+            lambda uc, c, k, slots: model.gen_latents(
+                variables, uc, c, k, shape_slot_idx=slots,
+                sampler=args.sampler, slot_sharding=slot_sharding)))
+        dec_fn = _staged("decode", jax.jit(
+            lambda s: model.decode_latents(variables, s,
+                                           slot_sharding=slot_sharding)))
+
+        def sample_fn(dec, k, slots, gen):
+            k_z, k_noise = jax.random.split(k)
+            lay = lay_fn(dec, k_z)
+            out = {"boxes": lay["boxes"], "angles": lay["angles"],
+                   "z": lay["z"], "sdf": None}
+            if gen:
+                lat = lat_fn(lay["uc_rel"], lay["c_rel"], k_noise, slots)
+                out["sdf"] = dec_fn(lat)
+            return out
+
+        def manip_fn(batch, k, slots, gen):
+            k_l, k_noise = jax.random.split(k)
+            lay = mlay_fn(batch, k_l)
+            out = {"boxes": lay["boxes"], "angles": lay["angles"],
+                   "keep": batch.keep_mask.reshape(-1), "sdf": None}
+            if gen:
+                lat = lat_fn(lay["uc_rel"], lay["c_rel"], k_noise, slots)
+                out["sdf"] = dec_fn(lat)
+            return out
+    elif not v1_full:
         @partial(jax.jit, static_argnames=("gen",))
         def sample_fn(dec, k, slots, gen):
             return model.sample(variables, dec, mean_j, chol_j, k,

@@ -207,6 +207,31 @@ class CommonScenesV2Full:
         tables = ddim_tables if ddim_tables is not None else self.ddim_tables
         k_z, k_noise = jax.random.split(key)
 
+        lay = self.sample_layout(variables, dec, mean_est, cov_chol, k_z)
+
+        gen_sdf = None
+        if gen_shape:
+            gen_sdf = self._gen_shapes(variables, lay["uc_rel"],
+                                       lay["c_rel"], k_noise,
+                                       shape_slot_idx, tables, uc_scale,
+                                       shared_noise, shape_mask,
+                                       sampler=sampler,
+                                       slot_sharding=slot_sharding)
+
+        return {"boxes": lay["boxes"], "angles": lay["angles"],
+                "sdf": gen_sdf, "z": lay["z"]}
+
+    def sample_layout(self, variables: Dict[str, Any], dec: SceneView,
+                      mean_est: jax.Array, cov_chol: jax.Array,
+                      k_z: jax.Array) -> Dict[str, jax.Array]:
+        """Layout-only stage of :meth:`sample` — latent draw, relation
+        encoding, box/angle decode. ``sample`` is exactly
+        ``sample_layout(k_z)`` + ``gen_latents(k_noise)`` +
+        ``decode_latents`` with ``k_z, k_noise = split(key)``; the eval CLI
+        jits the three stages separately (``--staged_sample``) so each
+        compiles (and persists to the compile cache) independently — one
+        giant sampling program is a ~40-minute single compile on the
+        tunneled device, longer than the tunnel's observed stable window."""
         B, N = dec.objs.shape
         eps = jax.random.normal(k_z, (B * N, mean_est.shape[0]))
         z = mean_est[None, :] + eps @ cov_chol.T
@@ -220,21 +245,38 @@ class CommonScenesV2Full:
         boxes, angles = self.layout.apply(
             variables["layout"], z, dec, train=False,
             method=LayoutVAE.decode)
+        return {"boxes": boxes, "angles": angles, "z": z,
+                "uc_rel": uc_rel, "c_rel": c_rel}
 
-        gen_sdf = None
-        if gen_shape:
-            gen_sdf = self._gen_shapes(variables, uc_rel, c_rel, k_noise,
-                                       shape_slot_idx, tables, uc_scale,
-                                       shared_noise, shape_mask,
-                                       sampler=sampler,
-                                       slot_sharding=slot_sharding)
+    def gen_latents(self, variables, uc_rel, c_rel, k_noise,
+                    shape_slot_idx=None, ddim_tables=None,
+                    uc_scale: Optional[float] = None,
+                    shared_noise: bool = True, sampler: str = "ddim",
+                    slot_sharding=None) -> jax.Array:
+        """Denoise-only stage: the DDIM/PLMS chain over packed slots,
+        WITHOUT the first-stage VQ-VAE decode — returns [K, z³, zc]
+        latents for :meth:`decode_latents` (see sample_layout)."""
+        cfg = self.cfg
+        uc_scale = cfg.diffusion.uc_scale if uc_scale is None else uc_scale
+        tables = ddim_tables if ddim_tables is not None else self.ddim_tables
+        return self._gen_shapes(variables, uc_rel, c_rel, k_noise,
+                                shape_slot_idx, tables, uc_scale,
+                                shared_noise, sampler=sampler,
+                                slot_sharding=slot_sharding, decode=False)
 
-        return {"boxes": boxes, "angles": angles, "sdf": gen_sdf, "z": z}
+    def decode_latents(self, variables, samples: jax.Array,
+                       slot_sharding=None) -> jax.Array:
+        """Decode-only stage of :meth:`sample` (inference-scoped kernel
+        lowerings, like the fused program — see sample_layout)."""
+        from commonscenes_tpu.nn.conv3d import inference_trace
+        with inference_trace(True):
+            return self._decode_latents(variables, samples,
+                                        slot_sharding=slot_sharding)
 
     def _gen_shapes(self, variables, uc_rel, c_rel, k_noise,
                     shape_slot_idx, tables, uc_scale, shared_noise,
                     shape_mask=None, sampler: str = "ddim",
-                    slot_sharding=None):
+                    slot_sharding=None, decode: bool = True):
         """DDIM (or PLMS) chain + VQ-VAE decode over (optionally slot-packed)
         relation tokens (reference rel2shape,
         sdfusion_txt2shape_model.py:460-516; the PLMS sampler ships in the
@@ -245,12 +287,13 @@ class CommonScenesV2Full:
         with inference_trace(True):
             return self._gen_shapes_impl(
                 variables, uc_rel, c_rel, k_noise, shape_slot_idx, tables,
-                uc_scale, shared_noise, shape_mask, sampler, slot_sharding)
+                uc_scale, shared_noise, shape_mask, sampler, slot_sharding,
+                decode)
 
     def _gen_shapes_impl(self, variables, uc_rel, c_rel, k_noise,
                          shape_slot_idx, tables, uc_scale, shared_noise,
                          shape_mask=None, sampler: str = "ddim",
-                         slot_sharding=None):
+                         slot_sharding=None, decode: bool = True):
         cfg = self.cfg
         if shape_slot_idx is not None:
             c_rel = jnp.take(c_rel, shape_slot_idx, axis=0)
@@ -306,6 +349,8 @@ class CommonScenesV2Full:
             samples = ddim_sample(denoise_fn, tables, x_T, c_in, uc_in,
                                   uc_scale=uc_scale, cfg_fn=cfg_fn,
                                   eta_noise_key=k_eta)
+        if not decode:
+            return samples
         gen_sdf = self._decode_latents(variables, samples,
                                        slot_sharding=slot_sharding)
         if shape_mask is not None:
@@ -387,21 +432,32 @@ class CommonScenesV2Full:
         tables = ddim_tables if ddim_tables is not None else self.ddim_tables
         k_layout, k_noise = jax.random.split(key)
 
-        layout_out = self.layout.apply(
-            variables["layout"], batch.enc, batch.dec, batch.node_new,
-            batch.node_changed, k_layout, train=False)
+        layout_out = self.manipulate_layout(variables, batch, k_layout)
 
         gen_sdf = None
         if gen_shape:
-            c_rel = layout_out["c_rel"]
-            uc_rel = layout_out["uc_rel"]
-            if c_rel is None:
-                c_rel = uc_rel
-            gen_sdf = self._gen_shapes(variables, uc_rel, c_rel, k_noise,
+            gen_sdf = self._gen_shapes(variables, layout_out["uc_rel"],
+                                       layout_out["c_rel"], k_noise,
                                        shape_slot_idx, tables, uc_scale,
                                        shared_noise, sampler=sampler)
         return {"boxes": layout_out["boxes"], "angles": layout_out["angles"],
                 "sdf": gen_sdf, "keep": batch.keep_mask.reshape(-1)}
+
+    def manipulate_layout(self, variables: Dict[str, Any],
+                          batch: GraphBatch, k_layout: jax.Array):
+        """Layout-only stage of :meth:`manipulate_sample` (GT-encode +
+        manipulation GCN + box/angle decode). Same staging contract as
+        :meth:`sample_layout`: ``manipulate_sample`` is exactly
+        ``manipulate_layout(k_layout)`` + ``gen_latents(k_noise)`` +
+        ``decode_latents`` with ``k_layout, k_noise = split(key)`` — and
+        the staged denoise/decode programs are byte-identical to the
+        no-manipulation ones, so the compile cache serves both."""
+        layout_out = dict(self.layout.apply(
+            variables["layout"], batch.enc, batch.dec, batch.node_new,
+            batch.node_changed, k_layout, train=False))
+        if layout_out.get("c_rel") is None:
+            layout_out["c_rel"] = layout_out["uc_rel"]
+        return layout_out
 
     # ------------------------------------------------------------------
     # train-set latent statistics (reference collect_train_statistics,
