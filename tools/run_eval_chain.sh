@@ -29,6 +29,24 @@ LAST=$((NEPOCH - 1))
 
 FROM=${FROM:-1}   # resume from step N (tunnel flakiness can kill a run
                   # mid-chain; completed artifacts in $OUT/$EXP are reused)
+RETRIES=${RETRIES:-4}
+
+# The tunneled TPU restarts at random (~tens of minutes apart), killing any
+# in-flight remote compile with "Broken pipe". Every CLI persists compiled
+# programs to the compile cache and eval stages its sampler into separate
+# jits (--staged_sample), so each retry resumes where the last one died.
+retry() {
+    local n=0
+    until "$@"; do
+        n=$((n + 1))
+        if [ "$n" -ge "$RETRIES" ]; then
+            echo "[!] failed after $RETRIES attempts: $*" >&2
+            return 1
+        fi
+        echo "[!] attempt $n failed (tunnel drop?) — retrying in 20s" >&2
+        sleep 20
+    done
+}
 
 mkdir -p "$OUT"
 
@@ -55,23 +73,23 @@ cp "$EXP/logs/loss_log.txt" "$OUT/loss_log.txt" 2>/dev/null || true
 
 if [ "$FROM" -le 4 ]; then
 echo "=== [4/8] eval: SCA + diversity + exports + renders ==="
-python -m commonscenes_tpu.cli.eval_3dfront --exp "$EXP" --epoch "$LAST" \
+retry python -m commonscenes_tpu.cli.eval_3dfront --exp "$EXP" --epoch "$LAST" \
     --dataset "$TREE" --num_scenes "$NUM_EVAL" --gen_shape True \
     --evaluate_diversity True --num_samples 3 \
     --export_dir "$OUT/exports" --render_dir "$OUT/renders" \
-    --manipulation none | tee "$OUT/sca_report.json"
+    --manipulation none 2>&1 | tee "$OUT/sca_report.json"
 fi
 
 if [ "$FROM" -le 5 ]; then
 echo "=== [5/8] eval: manipulation (relationship) SCA ==="
-python -m commonscenes_tpu.cli.eval_3dfront --exp "$EXP" --epoch "$LAST" \
+retry python -m commonscenes_tpu.cli.eval_3dfront --exp "$EXP" --epoch "$LAST" \
     --dataset "$TREE" --num_scenes "$NUM_EVAL" --gen_shape True \
-    --manipulation relationship | tee "$OUT/sca_relationship.json"
+    --manipulation relationship 2>&1 | tee "$OUT/sca_relationship.json"
 fi
 
 if [ "$FROM" -le 6 ]; then
 echo "=== [6/8] GT sets: renders + SDF grids ==="
-python -m commonscenes_tpu.cli.collect_gt_renders --dataset "$TREE" \
+retry python -m commonscenes_tpu.cli.collect_gt_renders --dataset "$TREE" \
     --out "$OUT/gt_renders" --sdf_out "$OUT/gt_sdfs" \
     --num_scenes "$NUM_EVAL"
 fi
