@@ -40,12 +40,8 @@ def main():
 
     # persistent compilation cache: the heavy UNet/VQ-VAE programs compile
     # once per container; subsequent bench runs start in seconds
-    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from commonscenes_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
 
     from commonscenes_tpu.core.config import FullConfig
     from commonscenes_tpu.data.collate import collate

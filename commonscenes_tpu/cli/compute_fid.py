@@ -45,6 +45,8 @@ def main(argv=None):
     p.add_argument("--path_pred", required=True)
     p.add_argument("--room_type", default="")
     p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--out", default="",
+                   help="write the report as valid JSON to this file")
     args = p.parse_args(argv)
 
     from commonscenes_tpu.eval.fid import compute_fid_kid
@@ -52,8 +54,12 @@ def main(argv=None):
     fake = load_dir(args.path_pred, args.room_type, args.limit)
     res = compute_fid_kid(real, fake)
     res["n_real"], res["n_fake"] = len(real), len(fake)
-    print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
-                      for k, v in res.items()}))
+    report = {k: (round(v, 4) if isinstance(v, float) else v)
+              for k, v in res.items()}
+    print(json.dumps(report))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
     return res
 
 

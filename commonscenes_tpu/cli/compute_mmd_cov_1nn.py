@@ -70,6 +70,8 @@ def main(argv=None):
     p.add_argument("--max_per_category", type=int, default=116)
     p.add_argument("--use_emd", action="store_true")
     p.add_argument("--per_category", action="store_true")
+    p.add_argument("--out", default="",
+                   help="write the report as valid JSON to this file")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -113,6 +115,9 @@ def main(argv=None):
     results["jsd"] = round(jsd_between_point_cloud_sets(
         0.5 * np.concatenate(all_s), 0.5 * np.concatenate(all_r)), 6)
     print(json.dumps(results))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
     return results
 
 

@@ -32,6 +32,8 @@ def main(argv=None):
     p.add_argument("--pairs_json", default="",
                    help="optional consistencies_{room}_test.json")
     p.add_argument("--n_points", type=int, default=2048)
+    p.add_argument("--out", default="",
+                   help="write the report as valid JSON to this file")
     args = p.parse_args(argv)
 
     from commonscenes_tpu.eval.consistency import consistency_scores
@@ -137,8 +139,12 @@ def main(argv=None):
            "consistency_chamfer": float(np.mean(agg["consistency_chamfer"]))
            if agg["consistency_chamfer"] else float("nan"),
            "scans": len(files)}
-    print(json.dumps({k: (round(v, 5) if isinstance(v, float) else v)
-                      for k, v in out.items()}))
+    report = {k: (round(v, 5) if isinstance(v, float) else v)
+              for k, v in out.items()}
+    print(json.dumps(report))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
     return out
 
 

@@ -58,6 +58,9 @@ def build_parser():
     p.add_argument("--render_res", type=int, default=256)
     p.add_argument("--render_extent", type=float, default=8.0)
     p.add_argument("--seed", type=int, default=47)
+    p.add_argument("--out", default="",
+                   help="write the summary report as valid JSON to this "
+                        "file (stdout keeps the human-readable log)")
     p.add_argument("--sampler", default="ddim", choices=["ddim", "plms"],
                    help="shape sampler (the reference ships PLMS unwired)")
     p.add_argument("--staged_sample", default=True,
@@ -756,8 +759,12 @@ def main(argv=None):
         with open(os.path.join(args.export_dir, "layouts.json"), "w") as f:
             json.dump(export, f)
 
-    print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
-                      for k, v in summary.items()}, indent=2))
+    report = {k: (round(v, 4) if isinstance(v, float) else v)
+              for k, v in summary.items()}
+    print(json.dumps(report, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
     return summary
 
 

@@ -36,6 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
     # reference flag surface (scripts/train_3dfront.py:27-80)
     p.add_argument("--batchSize", type=int, default=8)
     p.add_argument("--auxlr", type=float, default=1e-4)
+    p.add_argument("--lr_milestones", default="",
+                   help="comma-separated step boundaries for the step-wise "
+                        "LR decay (default 20000,60000,100000 — reference "
+                        "VAEGAN_V2FULL.py:620-669); scale down for short "
+                        "fixture runs, e.g. 300,600,900")
     p.add_argument("--nepoch", type=int, default=200)
     p.add_argument("--outf", type=str, default="checkpoint")
     p.add_argument("--dataset", type=str, default="synthetic",
@@ -116,7 +121,11 @@ def build_config(args):
             diffusion_bs=cfg.batch.diffusion_bs,
             sdf_res=cfg.batch.sdf_res),
         train=TrainConfig(aux_lr=args.auxlr, nepoch=args.nepoch,
-                          weight_d_box=args.weight_D_box, seed=args.seed),
+                          weight_d_box=args.weight_D_box, seed=args.seed,
+                          **({"lr_milestones": tuple(
+                                  int(m) for m in
+                                  args.lr_milestones.split(","))}
+                             if args.lr_milestones else {})),
     )
     return cfg
 
@@ -327,10 +336,16 @@ def main(argv=None):
                 steps_done += 1
                 if args.log_every and counter % args.log_every == 0:
                     m = {k: float(v) for k, v in metrics.items()}
+                    # surface the step-wise LR decay (VAEGAN_V2FULL.py:620-669)
+                    idx = sum(counter >= ms
+                              for ms in cfg.train.lr_milestones)
+                    m["lr"] = cfg.train.lr * cfg.train.lr_factors[idx]
                     logger.log(counter, m)
                     logger.message(
                         f"epoch {epoch} step {counter}: " + " ".join(
-                            f"{k}={v:.4f}" for k, v in sorted(m.items())))
+                            f"{k}={v:.4f}" if abs(v) >= 5e-4 or v == 0
+                            else f"{k}={v:.3g}"
+                            for k, v in sorted(m.items())))
                 if visualizer is not None and counter % args.vis_every == 0:
                     variables = {
                         "layout": {"params": state.gen_params["layout"],

@@ -40,15 +40,64 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     o_ref[0] = o.astype(o_ref.dtype)
 
 
-def _pick_q_tile(n_tokens: int, dp: int, extra_factor: int = 1) -> int:
-    """Largest q tile whose fp32 score block(s) + full k/v fit ~12MB VMEM."""
-    kv_bytes = 2 * n_tokens * dp * 4
-    budget = 12 * 1024 * 1024 - kv_bytes
+_VMEM_BUDGET = 13 * 1024 * 1024   # Mosaic scoped-vmem limit is 16M; leave
+                                  # headroom for compiler temporaries
+
+
+def _vmem_usage(n_tokens: int, dp: int, tq: int, bwd: bool) -> int:
+    """Conservative scoped-VMEM model for one grid step of the kernels.
+
+    Counts (a) the live fp32 score-shaped [Tq, N] intermediates — the fwd
+    kernel holds s and p simultaneously, the bwd kernel s/e/p/dp/ds (≈4
+    after reuse); (b) the N-resident k/v (+ dk/dv accumulators in bwd)
+    blocks, SINGLE-buffered (their index maps are grid-invariant, so the
+    pipeline fetches them once — confirmed by the r04 numbers: the crash
+    geometry's reported 17.69M matches 2 fp32 score buffers (16.8M) +
+    single-buffered k/v, and N=4096/Dp=256 fwd ran fine on TPU, which
+    double-buffered fp32 k/v (16.8M) alone would forbid); (c) the [Tq, Dp]
+    tile-IO blocks, doubled for pipeline double-buffering. The r04 A/B
+    cell ss_off_eval_b2_chunk4 crashed at compile time (17.69M > 16M
+    scoped vmem, up_attn_4 geometry) because the old picker counted only
+    ONE score buffer."""
+    n_score = 4 if bwd else 2
+    n_seq = 4 if bwd else 2           # k,v (+ dk,dv)
+    n_tile = 3 if bwd else 2          # q,o / q,do,dq
+    return (n_score * tq * n_tokens * 4
+            + n_seq * n_tokens * dp * 4
+            + 2 * n_tile * tq * dp * 4)
+
+
+def _pick_q_tile(n_tokens: int, dp: int, bwd: bool = False) -> int:
+    """Largest q tile whose working set fits the scoped-VMEM budget."""
     tq = n_tokens
-    while tq > 8 and (extra_factor * tq * n_tokens * 4
-                      + 4 * tq * dp * 4) > budget:
+    while tq > 8 and _vmem_usage(n_tokens, dp, tq, bwd) > _VMEM_BUDGET:
         tq //= 2
     return max(tq, 8)
+
+
+def _bwd_kernel_fits(n_tokens: int, dp: int) -> bool:
+    """Whether ANY q tile lets the bwd kernel fit scoped VMEM (the k/v +
+    dk/dv residency is tile-independent, so large N·Dp can't fit at all)."""
+    return _vmem_usage(n_tokens, dp, 8, bwd=True) <= _VMEM_BUDGET
+
+
+def _xla_bwd(q, k, v, g, scale):
+    """Plain-XLA attention VJP for [BH, N, Dp] buffers — the fallback when
+    the bwd Pallas kernel cannot fit scoped VMEM at this geometry (e.g.
+    VQ-VAE attention at N=4096 with wide single heads). Materializes the
+    [BH, N, N] score matrix through HBM: slower, never a compile crash."""
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    s = jnp.einsum("bnd,bmd->bnm", qf, kf) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    dv = jnp.einsum("bnm,bnd->bmd", p, gf)
+    dp_ = jnp.einsum("bnd,bmd->bnm", gf, vf)
+    ds = p * (dp_ - jnp.sum(dp_ * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bnm,bmd->bnd", ds, kf) * scale
+    dk = jnp.einsum("bnm,bnd->bmd", ds, qf) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
@@ -147,7 +196,9 @@ def _padded_bwd(scale, res, g):
 
     q, k, v = res
     BH, N, Dp = q.shape
-    Tq = _pick_q_tile(N, Dp, extra_factor=3)
+    if not _bwd_kernel_fits(N, Dp):
+        return _xla_bwd(q, k, v, g, scale)
+    Tq = _pick_q_tile(N, Dp, bwd=True)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_attn_bwd_kernel, scale=scale),
         grid=(BH, N // Tq),
@@ -235,7 +286,13 @@ def _flash_bwd(scale, res, g):
     B, N, H, D = q.shape
     sc = D ** -0.5 if scale is None else scale
     Dp = max(_round_up(D, 64), 64)
-    Tq = _pick_q_tile(N, Dp, extra_factor=3)
+    if not _bwd_kernel_fits(N, Dp):
+        dq, dk, dv = _xla_bwd(_prep(q, Dp), _prep(k, Dp), _prep(v, Dp),
+                              _prep(g, Dp), sc)
+        return (_unprep(dq, B, H, N, D).astype(q.dtype),
+                _unprep(dk, B, H, N, D).astype(k.dtype),
+                _unprep(dv, B, H, N, D).astype(v.dtype))
+    Tq = _pick_q_tile(N, Dp, bwd=True)
 
     qp, kp, vp, gp = _prep(q, Dp), _prep(k, Dp), _prep(v, Dp), _prep(g, Dp)
     dq, dk, dv = pl.pallas_call(
@@ -274,11 +331,16 @@ flash_self_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
 def self_attention_supported(n_tokens: int, dim_head: int) -> bool:
-    """q tiles always shrink to fit; require lane-friendly shapes and k/v
-    residency (full keys for one head in VMEM)."""
+    """q tiles always shrink to fit; require lane-friendly shapes and that
+    the MINIMUM tile's working set (fwd and bwd) fits the scoped-VMEM
+    budget — otherwise the caller falls back to the XLA einsum path
+    instead of hitting a Mosaic compile-time OOM (the r04
+    ss_off_eval_b2_chunk4 failure mode)."""
     dp = max(_round_up(dim_head, 64), 64)
-    kv_bytes = 2 * n_tokens * dp * 4
-    return n_tokens % 8 == 0 and kv_bytes < 10 * 1024 * 1024
+    if n_tokens % 8 != 0 or 2 * n_tokens * dp * 4 >= 10 * 1024 * 1024:
+        return False
+    tq = _pick_q_tile(n_tokens, dp)
+    return _vmem_usage(n_tokens, dp, tq, bwd=False) <= _VMEM_BUDGET
 
 
 def on_tpu() -> bool:

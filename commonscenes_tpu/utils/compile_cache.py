@@ -8,8 +8,10 @@ near-instant for unchanged programs. The reference has no analogue — torch
 eager pays no compile — so this is a TPU-native operational concern, not a
 parity one.
 
-Cache dir: $JAX_CACHE_DIR, default /tmp/jax_cache (shared with bench.py so
-bench-warmed programs also hit from the CLIs and vice versa).
+Cache dir: $JAX_CACHE_DIR, default ~/.cache/commonscenes_jax (per-user, not
+a world-writable /tmp path another local user could pre-create or poison;
+shared with bench.py so bench-warmed programs also hit from the CLIs and
+vice versa).
 """
 
 from __future__ import annotations
@@ -17,12 +19,18 @@ from __future__ import annotations
 import os
 
 
+def _default_cache_dir() -> str:
+    base = os.environ.get("XDG_CACHE_HOME",
+                          os.path.join(os.path.expanduser("~"), ".cache"))
+    return os.path.join(base, "commonscenes_jax")
+
+
 def enable_persistent_cache() -> str:
     """Point jax at the persistent compile cache; safe to call any time
     before the first compile. Returns the cache dir (or "" on failure)."""
     import jax
 
-    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
+    cache_dir = os.environ.get("JAX_CACHE_DIR", _default_cache_dir())
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

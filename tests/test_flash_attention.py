@@ -26,7 +26,56 @@ def test_q_tile_selection():
     assert fa._pick_q_tile(1024, 64) == 1024          # whole head fits
     tq = fa._pick_q_tile(4096, 256)
     assert tq < 4096 and 4096 % tq == 0               # tiled
-    assert fa._pick_q_tile(4096, 256, extra_factor=3) <= tq
+    assert fa._pick_q_tile(4096, 256, bwd=True) <= tq
+
+
+def test_vmem_budget_never_exceeded():
+    """Regression for the r04 ss_off_eval_b2_chunk4 Mosaic scoped-vmem OOM
+    (17.69M > 16M at the up_attn_4 geometry): for EVERY geometry the
+    dispatch gate admits, the picked tile's modeled working set must fit
+    the budget — the old picker admitted N=4096/Dp=64 with Tq=512 whose
+    two live fp32 [Tq, N] score buffers alone were 16.8M."""
+    limit = 16 * 1024 * 1024
+    for n in (256, 512, 1024, 2048, 4096, 8192):
+        for d in (32, 56, 64, 84, 128, 256, 512):
+            if not fa.self_attention_supported(n, d):
+                continue
+            dp = max((d + 63) // 64 * 64, 64)
+            tq = fa._pick_q_tile(n, dp)
+            assert fa._vmem_usage(n, dp, tq, False) <= fa._VMEM_BUDGET \
+                < limit, (n, d, tq)
+            # the bwd kernel either fits at its own tile, or the VJP takes
+            # the XLA fallback (_xla_bwd) — never an unguarded pallas_call
+            if fa._bwd_kernel_fits(n, dp):
+                tqb = fa._pick_q_tile(n, dp, bwd=True)
+                assert fa._vmem_usage(n, dp, tqb, True) <= fa._VMEM_BUDGET, \
+                    (n, d, tqb)
+    # the exact r04 crash geometry: gate may admit it, but only with a
+    # tile strictly below the old crashing Tq=512
+    if fa.self_attention_supported(4096, 64):
+        assert fa._pick_q_tile(4096, 64) < 512
+    # the VQ-VAE bottleneck's bwd can't fit at any tile → fallback route
+    assert not fa._bwd_kernel_fits(4096, 256)
+
+
+def test_xla_bwd_matches_autodiff():
+    """The fallback VJP must equal jax.grad of the plain attention math."""
+    rng = np.random.RandomState(3)
+    q, k, v = (jnp.asarray(rng.randn(2, 16, 8).astype(np.float32))
+               for _ in range(3))
+    g = jnp.asarray(rng.randn(2, 16, 8).astype(np.float32))
+    scale = 8 ** -0.5
+
+    def ref(q, k, v):
+        s = jnp.einsum("bnd,bmd->bnm", q, k) * scale
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bnm,bmd->bnd", p, v)
+
+    dq, dk, dv = fa._xla_bwd(q, k, v, g, scale)
+    rq, rk, rv = jax.vjp(ref, q, k, v)[1](g)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), atol=1e-5)
 
 
 def test_cpu_fallback_path():

@@ -29,7 +29,7 @@ LAST=$((NEPOCH - 1))
 
 FROM=${FROM:-1}   # resume from step N (tunnel flakiness can kill a run
                   # mid-chain; completed artifacts in $OUT/$EXP are reused)
-RETRIES=${RETRIES:-4}
+RETRIES=${RETRIES:-12}
 
 # The tunneled TPU restarts at random (~tens of minutes apart), killing any
 # in-flight remote compile with "Broken pipe". Every CLI persists compiled
@@ -64,10 +64,15 @@ fi
 
 if [ "$FROM" -le 3 ]; then
 echo "=== [3/8] train v2_full (brief) ==="
-python -m commonscenes_tpu.cli.train_3dfront --network_type v2_full \
+# scale the reference's 20k/60k/100k LR boundaries into this run's length
+# so the committed loss log shows the step-wise decay actually firing
+TOTAL=$((NEPOCH * STEPS))
+MILES="$((TOTAL * 3 / 10)),$((TOTAL * 6 / 10)),$((TOTAL * 9 / 10))"
+retry python -m commonscenes_tpu.cli.train_3dfront --network_type v2_full \
     --dataset "$TREE" --nepoch "$NEPOCH" --steps_per_epoch "$STEPS" \
     --batchSize "$BS" --max_objs 10 --max_triples 48 --exp "$EXP" \
-    --vis_every 0 --log_every 10 2>&1 | tail -5
+    --lr_milestones "$MILES" \
+    --vis_every 0 --log_every 10 2>&1 | tail -8
 fi
 cp "$EXP/logs/loss_log.txt" "$OUT/loss_log.txt" 2>/dev/null || true
 
@@ -77,14 +82,16 @@ retry python -m commonscenes_tpu.cli.eval_3dfront --exp "$EXP" --epoch "$LAST" \
     --dataset "$TREE" --num_scenes "$NUM_EVAL" --gen_shape True \
     --evaluate_diversity True --num_samples 3 \
     --export_dir "$OUT/exports" --render_dir "$OUT/renders" \
-    --manipulation none 2>&1 | tee "$OUT/sca_report.json"
+    --out "$OUT/sca_report.json" \
+    --manipulation none 2>&1 | tee "$OUT/sca_report.log"
 fi
 
 if [ "$FROM" -le 5 ]; then
 echo "=== [5/8] eval: manipulation (relationship) SCA ==="
 retry python -m commonscenes_tpu.cli.eval_3dfront --exp "$EXP" --epoch "$LAST" \
     --dataset "$TREE" --num_scenes "$NUM_EVAL" --gen_shape True \
-    --manipulation relationship 2>&1 | tee "$OUT/sca_relationship.json"
+    --out "$OUT/sca_relationship.json" \
+    --manipulation relationship 2>&1 | tee "$OUT/sca_relationship.log"
 fi
 
 if [ "$FROM" -le 6 ]; then
@@ -97,9 +104,11 @@ fi
 echo "=== [7/8] MMD/COV/1-NN + FID/KID ==="
 python -m commonscenes_tpu.cli.compute_mmd_cov_1nn \
     --path_sample "$OUT/exports" --path_ref "$OUT/gt_sdfs" \
-    --n_points 1024 | tee "$OUT/mmd_cov_1nn.json"
+    --n_points 1024 --out "$OUT/mmd_cov_1nn.json" \
+    2>&1 | tee "$OUT/mmd_cov_1nn.log"
 python -m commonscenes_tpu.cli.compute_fid --path_gt "$OUT/gt_renders" \
-    --path_pred "$OUT/renders" | tee "$OUT/fid.json"
+    --path_pred "$OUT/renders" --out "$OUT/fid.json" \
+    2>&1 | tee "$OUT/fid.log"
 
 echo "=== [8/8] consistency ==="
 python -m commonscenes_tpu.cli.collect_consistency --dataset "$TREE" \
@@ -108,7 +117,7 @@ python -m commonscenes_tpu.cli.collect_consistency --dataset "$TREE" \
 python -m commonscenes_tpu.cli.consistency_check \
     --export_dir "$OUT/exports" \
     --pairs_json "$OUT/consistencies_bedroom_test.json" \
-    | tee "$OUT/consistency.json"
+    --out "$OUT/consistency.json" 2>&1 | tee "$OUT/consistency.log"
 
 echo "=== report files in $OUT ==="
 ls -la "$OUT"
