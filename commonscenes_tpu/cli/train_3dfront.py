@@ -223,6 +223,16 @@ def main(argv=None):
         codes = pseudo_shape_codes(
             objs, dim=cfg.layout.shape_input_dim).reshape(
             objs.shape[0], objs.shape[1], -1)
+        if scenes is not None:
+            # legacy 3RScan with_feats caches arrive slot-ordered on the
+            # scene itself (data/rscan.py, reference dataset.py:585-597)
+            for b, scene in enumerate(scenes):
+                sf = getattr(scene, "shape_feats", None)
+                if sf is None:
+                    continue
+                k = min(sf.shape[0], codes.shape[1])
+                w = min(sf.shape[1], codes.shape[-1])
+                codes[b, :k, :w] = sf[:k, :w]
         if gt_codes and scenes is not None:
             for b, scene in enumerate(scenes):
                 if scene.instance_ids is None:

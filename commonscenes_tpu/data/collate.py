@@ -43,6 +43,10 @@ class RawScene:
                                                # point sets (legacy 3RScan
                                                # use_points path; scene root
                                                # slot is zeros)
+    shape_feats: Optional[np.ndarray] = None   # f32 [n, D] per-instance
+                                               # DeepSDF/AtlasNet latents
+                                               # (legacy with_feats path;
+                                               # scene root slot is zeros)
 
     @property
     def num_objs(self) -> int:

@@ -129,14 +129,22 @@ def _derive_relations(labels: List[str], boxes: np.ndarray,
             vol_s = bs[0] * bs[1] * bs[2]
             vol_o = bo[0] * bo[1] * bo[2]
             h_s, h_o = bs[4] + bs[1], bo[4] + bo[1]
+            # strict SCA additionally requires the pair NOT to overlap in
+            # 3D (eval/constraints.py check_rules: overlap-over-min <= 0.3)
+            # — gate directional emission on the same predicate, or
+            # "GT SCA ~100%" becomes seed-dependent when random placement
+            # intersects two furniture boxes (ADVICE r4)
+            from commonscenes_tpu.eval.constraints import aabb_overlap_over_min
+            disjoint = float(aabb_overlap_over_min(
+                bs[None, :6], bo[None, :6])[0]) <= 0.3
             choices = []
-            if dz <= -0.15:
+            if dz <= -0.15 and disjoint:
                 choices.append("left")
-            elif dz >= 0.15:
+            elif dz >= 0.15 and disjoint:
                 choices.append("right")
-            if dx >= 0.15:
+            if dx >= 0.15 and disjoint:
                 choices.append("front")
-            elif dx <= -0.15:
+            elif dx <= -0.15 and disjoint:
                 choices.append("behind")
             if vol_o > 0 and (vol_s - vol_o) / max(vol_s, 1e-6) >= 0.2:
                 choices.append("bigger than")

@@ -12,8 +12,15 @@ scene loading with per-vertex ``objectId`` labels, per-instance sampling
 to a static ``npoints`` budget, the ``norm_tensor`` center/rotate/scale
 normalization family (diag / whl / whl_after), semseg.v2.json
 instance→label maps, canonical-direction box correction, and the legacy
-accumulated box statistics (helpers/util.py:519-560). The DeepSDF/AtlasNet
-feature caches remain superseded by the SDF path in sgfront.py.
+accumulated box statistics (helpers/util.py:519-560), the per-instance
+DeepSDF/AtlasNet latent caches (``with_feats``: per-scan
+``{atlasname}_{small|large}_{splits|merged}_{section}.pkl`` dicts holding
+``{'feats', 'instance_order'}``, reordered to slot order with a zero row
+for the scene node — dataset/dataset.py:447-467, 585-597), and the
+free-memory-gated in-RAM scan cache (helpers/psutil.py FreeMemLinux;
+points are only memoized while >5 GB of host RAM is free,
+dataset/dataset.py:471-479). The modern SDF grids used by the 3D-FRONT
+entry points live in sgfront.py.
 """
 
 from __future__ import annotations
@@ -102,6 +109,50 @@ def norm_points(p: np.ndarray, params7: Optional[np.ndarray] = None,
     return p
 
 
+def free_mem_gb() -> float:
+    """Free + reclaimable host memory in GB (reference helpers/psutil.py
+    FreeMemLinux.user_free: MemFree + Buffers + Cached)."""
+    try:
+        with open("/proc/meminfo") as f:
+            info = {}
+            for ln in f:
+                parts = ln.split()
+                if len(parts) >= 2:
+                    info[parts[0].rstrip(":")] = int(parts[1])
+        kb = (info.get("MemFree", 0) + info.get("Buffers", 0)
+              + info.get("Cached", 0))
+        return kb / 1024 / 1024
+    except OSError:
+        return 0.0
+
+
+def load_feats_pkl(path: str, instances_order: List[int],
+                   feat_dim: Optional[int] = None) -> Optional[np.ndarray]:
+    """Per-scan shape-latent cache → slot-ordered [n+1, D] array.
+
+    The reference pickles ``{'feats': [k+1, D], 'instance_order': [k]}``
+    per scan (the trailing feats row belongs to the scene node) and
+    reorders rows to the scene's instance order at load time, appending a
+    fresh zero row for the scene node (dataset/dataset.py:585-597).
+    Instances missing from the cache get zero rows (the reference would
+    produce an empty selection there)."""
+    import pickle
+
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as f:
+        dic = pickle.load(f)
+    feats = np.asarray(dic["feats"], np.float32)
+    order = np.asarray(dic["instance_order"]).reshape(-1)
+    D = feat_dim or feats.shape[1]
+    rows = []
+    for inst in instances_order:
+        sel = feats[:-1][order == inst]
+        rows.append(sel if len(sel) else np.zeros((1, D), np.float32))
+    rows.append(np.zeros((1, D), np.float32))   # scene node
+    return np.concatenate(rows, axis=0).astype(np.float32)
+
+
 def load_semseg(json_file: str) -> Dict[int, str]:
     """segGroups instance-id → lowercase label
     (reference dataset/dataset.py:364-375)."""
@@ -133,7 +184,10 @@ class RScanDataset:
                  root_3rscan: Optional[str] = None,
                  label_file: str = "labels.instances.annotated.v2.ply",
                  use_canonical: bool = False, scale_func: str = "diag",
-                 normalize_boxes: bool = False, seed: int = 0):
+                 normalize_boxes: bool = False, seed: int = 0,
+                 with_feats: bool = False, path2atlas: Optional[str] = None,
+                 use_splits: bool = False, large: bool = True,
+                 feat_dim: int = 128, min_free_gb: float = 5.0):
         """``use_points`` loads the annotated scan PLY
         (``root_3rscan/<scan>/<label_file>``), segments vertices by the
         per-vertex objectId, samples ``npoints`` per instance and
@@ -141,7 +195,16 @@ class RScanDataset:
         RIODatasetSceneGraph points path (dataset/dataset.py:470-640).
         ``normalize_boxes`` applies the legacy accumulated box stats
         (reference non-vae_baseline branch, dataset/dataset.py:543-548);
-        off by default to keep raw metric boxes."""
+        off by default to keep raw metric boxes.
+
+        ``with_feats`` loads per-instance DeepSDF/AtlasNet latents from
+        the per-scan pickle caches the reference precomputes
+        (``<root_3rscan>/<scan>/{atlasname}_{small|large}_{splits|merged}
+        _<section>.pkl``, dataset/dataset.py:447-467); ``path2atlas``
+        supplies the encoder checkpoint path whose basename keys the
+        cache filename. Loaded latents arrive slot-ordered on
+        ``RawScene.shape_feats`` with a zero row for the scene node and
+        feed v1_full's GT-code branch."""
         self.root = root
         self.use_scene_rels = use_scene_rels
         self.with_clip = with_clip
@@ -155,6 +218,12 @@ class RScanDataset:
         self.scale_func = scale_func
         self.normalize_boxes = normalize_boxes
         self.rng = np.random.RandomState(seed)
+        self.with_feats = with_feats
+        self.path2atlas = path2atlas
+        self.use_splits = use_splits
+        self.large = large
+        self.feat_dim = feat_dim
+        self.min_free_gb = min_free_gb
         self._ply_cache: Dict[str, tuple] = {}
 
         with open(os.path.join(root, "classes.txt")) as f:
@@ -212,10 +281,31 @@ class RScanDataset:
         The reference keys scans as '<id>_<split-section>'; the PLY lives
         under the bare id (dataset/dataset.py:386-399)."""
         base = scan_id.split("_")[0]
-        if base not in self._ply_cache:
-            path = os.path.join(self.root_3rscan, base, self.label_file)
-            self._ply_cache[base] = read_ply_labeled(path)
-        return self._ply_cache[base]
+        if base in self._ply_cache:
+            return self._ply_cache[base]
+        path = os.path.join(self.root_3rscan, base, self.label_file)
+        data = read_ply_labeled(path)
+        # memoize only while host RAM is plentiful (reference gates its
+        # scan cache on FreeMemLinux.user_free > 5, dataset.py:477)
+        if free_mem_gb() > self.min_free_gb:
+            self._ply_cache[base] = data
+        return data
+
+    def _feats_path(self, scan_id: str) -> str:
+        """Reference per-scan latent-cache filename
+        ('{atlasname}_{small|large}_{splits|merged}_{section}.pkl',
+        dataset/dataset.py:447-467)."""
+        atlasname = "deepsdf"
+        if self.path2atlas:
+            atlasname = os.path.splitext(os.path.basename(self.path2atlas))[0]
+        parts = scan_id.split("_")
+        base, section = parts[0], parts[1] if len(parts) > 1 else "0"
+        return os.path.join(
+            self.root_3rscan, base,
+            "{}_{}_{}_{}.pkl".format(atlasname,
+                                     "large" if self.large else "small",
+                                     "splits" if self.use_splits else "merged",
+                                     section))
 
     def _instance_labels(self, scan_id: str) -> Optional[Dict[int, str]]:
         """semseg.v2.json / semseg.json instance→label map when present
@@ -299,6 +389,13 @@ class RScanDataset:
                     rotation=self.use_canonical,
                     scale_func=self.scale_func)
 
+        shape_feats = None
+        if self.with_feats:
+            shape_feats = load_feats_pkl(self._feats_path(scan_id),
+                                         inst_ids, self.feat_dim)
+            if shape_feats is not None and not self.use_scene_rels:
+                shape_feats = shape_feats[:-1]   # no scene-node slot
+
         if self.use_scene_rels:
             root_slot = len(cat_ids)
             for i in range(len(cat_ids)):
@@ -323,4 +420,5 @@ class RScanDataset:
             scan_id=scan_id,
             instance_ids=np.asarray(inst_ids, np.int32),
             points=obj_points,
+            shape_feats=shape_feats,
         )

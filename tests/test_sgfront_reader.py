@@ -311,3 +311,88 @@ def test_rscan_angle_bins_clamped(tmp_path):
     assert scene.angles[1] == 23           # overflow clamps, no index 24
     assert scene.angles[2] == 22           # 359° → last in-range interval
     assert scene.angles.max() <= 23 and scene.angles.min() >= 0
+
+
+def test_rscan_deepsdf_feats(tmp_path):
+    """Legacy with_feats path (reference dataset/dataset.py:447-467,
+    585-597): per-scan '{atlas}_{large|small}_{splits|merged}_{sec}.pkl'
+    caches holding {'feats': [k+1, D], 'instance_order': [k]} arrive
+    slot-ordered on RawScene.shape_feats with a zero scene-node row,
+    regardless of the pickle's own instance order."""
+    import pickle
+
+    root = tmp_path / "rscan_feats"
+    root.mkdir()
+    (root / "classes.txt").write_text("chair\ntable\nwall\n")
+    (root / "relationships.txt").write_text("left\nright\n")
+    (root / "relationships_train.json").write_text(json.dumps({"scans": [{
+        "scan": "scanf_0",
+        "objects": {"1": "chair", "2": "table"},
+        "relationships": [[1, 2, 1, "left"]],
+    }]}))
+    scan_dir = root / "scanf"
+    scan_dir.mkdir()
+    D = 16
+    # pickle in REVERSED instance order (2 before 1) + a stale scene row
+    feats = np.stack([np.full(D, 2.0), np.full(D, 1.0),
+                      np.full(D, 99.0)]).astype(np.float32)
+    with open(scan_dir / "atl_large_merged_0.pkl", "wb") as f:
+        pickle.dump({"feats": feats, "instance_order": np.array([2, 1])}, f)
+
+    from commonscenes_tpu.data.rscan import RScanDataset, load_feats_pkl
+    ds = RScanDataset(str(root), split="train", with_feats=True,
+                      path2atlas="/models/atl.pth", feat_dim=D)
+    scene = ds[0]
+    assert scene.shape_feats is not None
+    assert scene.shape_feats.shape == (3, D)   # chair, table, scene root
+    chair_slot = int(np.where(scene.objs ==
+                              ds.vocab.class_to_idx["chair"])[0][0])
+    table_slot = int(np.where(scene.objs ==
+                              ds.vocab.class_to_idx["table"])[0][0])
+    np.testing.assert_allclose(scene.shape_feats[chair_slot], 1.0)
+    np.testing.assert_allclose(scene.shape_feats[table_slot], 2.0)
+    np.testing.assert_allclose(scene.shape_feats[-1], 0.0)   # scene node
+
+    # missing instance in the cache → zero row, not a shape mismatch
+    got = load_feats_pkl(str(scan_dir / "atl_large_merged_0.pkl"),
+                         [1, 7], feat_dim=D)
+    assert got.shape == (3, D)
+    np.testing.assert_allclose(got[0], 1.0)
+    np.testing.assert_allclose(got[1], 0.0)
+
+    # absent cache file → None (caller falls back to pseudo-codes)
+    ds_nofile = RScanDataset(str(root), split="train", with_feats=True,
+                             path2atlas="/models/other.pth", feat_dim=D)
+    assert ds_nofile[0].shape_feats is None
+
+
+def test_rscan_memgated_ply_cache(tmp_path, monkeypatch):
+    """The scan-points RAM cache only memoizes while host memory is
+    plentiful (reference FreeMemLinux.user_free > 5 gate, dataset.py:477)."""
+    from commonscenes_tpu.data import rscan as R
+
+    root = tmp_path / "rscan_mem"
+    root.mkdir()
+    (root / "classes.txt").write_text("chair\n")
+    (root / "relationships.txt").write_text("left\n")
+    (root / "relationships_train.json").write_text(json.dumps({"scans": [
+        {"scan": "s0_0", "objects": {"1": "chair"}, "relationships": []}]}))
+
+    calls = []
+    monkeypatch.setattr(R, "read_ply_labeled",
+                        lambda p: (calls.append(p) or
+                                   (np.zeros((4, 3), np.float32),
+                                    np.ones(4, np.int64))))
+    ds = R.RScanDataset(str(root), split="train", use_points=True,
+                        root_3rscan=str(root))
+
+    monkeypatch.setattr(R, "free_mem_gb", lambda: 0.5)   # memory pressure
+    ds._scan_points("s0_0")
+    ds._scan_points("s0_0")
+    assert len(calls) == 2 and not ds._ply_cache   # re-read, not cached
+
+    monkeypatch.setattr(R, "free_mem_gb", lambda: 64.0)
+    ds._scan_points("s0_0")
+    ds._scan_points("s0_0")
+    assert len(calls) == 3 and "s0" in ds._ply_cache   # cached once
+    assert R.free_mem_gb is not None
