@@ -70,6 +70,17 @@ def build_parser():
                         "caches independently, so a dropped TPU tunnel "
                         "mid-compile resumes instead of starting over; "
                         "False = the single fused program bench.py times)")
+    p.add_argument("--host_denoise", default=False,
+                   type=lambda s: s.lower() in ("1", "true", "yes"),
+                   help="drive the DDIM chain as a host loop over ONE "
+                        "jitted step instead of a compiled scan (staged "
+                        "mode only). The chain-as-one-program is a ~40 min "
+                        "compile on the tunneled device — longer than the "
+                        "tunnel's stable window, so it can never finish "
+                        "there; one step compiles in minutes, persists to "
+                        "the compile cache, and async dispatch keeps the "
+                        "device busy. Numerically identical to the scan "
+                        "(tests/test_ddim_host_loop.py)")
     # TPU-native batching knobs
     p.add_argument("--eval_batch", type=int, default=0,
                    help="scenes per jitted sampling call; 0 = auto "
@@ -525,10 +536,34 @@ def main(argv=None):
                                                chol_j, k)))
         mlay_fn = _staged("manip-layout", jax.jit(
             lambda batch, k: model.manipulate_layout(variables, batch, k)))
-        lat_fn = _staged("denoise", jax.jit(
-            lambda uc, c, k, slots: model.gen_latents(
-                variables, uc, c, k, shape_slot_idx=slots,
-                sampler=args.sampler, slot_sharding=slot_sharding)))
+        if args.host_denoise and args.sampler == "ddim":
+            # host-driven chain: jit ONE step, loop S times from the host
+            # (idx is data → one executable for every step). Survives the
+            # flaky tunnel: worst case a drop loses one step's dispatch,
+            # and every retry resumes from the compile cache.
+            prep_fn = _staged("denoise-prep", jax.jit(
+                lambda uc, c, k, slots: model.denoise_prep(
+                    variables, uc, c, k, shape_slot_idx=slots,
+                    slot_sharding=slot_sharding)))
+            step_fn = _staged("denoise-step", jax.jit(
+                lambda x, key, i, cin, ucin: model.denoise_step(
+                    variables, x, key, i, cin, ucin,
+                    slot_sharding=slot_sharding)))
+            n_steps = int(np.asarray(model.ddim_tables.timesteps).shape[0])
+
+            def lat_fn(uc, c, k, slots):
+                x, cin, ucin, key = prep_fn(uc, c, k, slots)
+                for i in range(n_steps):
+                    x, key = step_fn(x, key, np.int32(i), cin, ucin)
+                return x
+        else:
+            if args.host_denoise:
+                print("[!] --host_denoise supports the ddim sampler only; "
+                      "using the compiled chain", flush=True)
+            lat_fn = _staged("denoise", jax.jit(
+                lambda uc, c, k, slots: model.gen_latents(
+                    variables, uc, c, k, shape_slot_idx=slots,
+                    sampler=args.sampler, slot_sharding=slot_sharding)))
         dec_fn = _staged("decode", jax.jit(
             lambda s: model.decode_latents(variables, s,
                                            slot_sharding=slot_sharding)))

@@ -22,32 +22,23 @@ import jax.numpy as jnp
 from commonscenes_tpu.diffusion.schedule import DDIMTables
 
 
-def ddim_sample(denoise_fn: Callable, tables: DDIMTables, x_T: jax.Array,
-                cond: jax.Array, uncond: Optional[jax.Array] = None,
-                uc_scale: float = 1.0, eta_noise_key: Optional[jax.Array] = None,
-                temperature: float = 1.0,
-                cfg_fn: Optional[Callable] = None) -> jax.Array:
-    """Run the full DDIM chain from x_T.
-
-    denoise_fn(x, t, c) → ε̂ with x [B, ...], t [B] int32, c [B, ...].
-    CFG runs uncond+cond through one 2B-batched call exactly like the
-    reference; with uncond=None or uc_scale==1 a single call is used.
-
-    ``cfg_fn(x, t, cond_full) → ε̂ [2B, ...]`` is the optional CFG-deduped
-    denoiser (x/t at batch B, cond_full = [uncond ‖ cond]): the UNet shares
-    the context-free prefix between the halves (nn/unet3d.py cfg_pair).
-    """
+def _make_body(denoise_fn: Callable, tables: DDIMTables, B: int,
+               cond: jax.Array, uncond: Optional[jax.Array],
+               uc_scale: float, eta_noise_key: Optional[jax.Array],
+               temperature: float, cfg_fn: Optional[Callable]):
+    """The single-step DDIM update shared by the compiled `lax.scan`
+    chain and the host-driven step loop — one definition, so the two
+    execution modes are the same program per step by construction."""
     steps = jnp.asarray(tables.timesteps)            # [S] ascending
     alphas = jnp.asarray(tables.alphas)
     alphas_prev = jnp.asarray(tables.alphas_prev)
     sqrt_1m = jnp.asarray(tables.sqrt_one_minus_alphas)
     sigmas = jnp.asarray(tables.sigmas)
-    S = steps.shape[0]
-    B = x_T.shape[0]
+    S = int(steps.shape[0])
 
     use_cfg = uncond is not None and uc_scale != 1.0
-    if use_cfg:
-        cond_full = jnp.concatenate([uncond, cond], axis=0)
+    cond_full = (jnp.concatenate([uncond, cond], axis=0)
+                 if use_cfg else None)
 
     # static when the sigma table is concrete (the normal case: DDIMTables
     # holds numpy); if a caller passes traced tables the branch can't be
@@ -92,6 +83,55 @@ def ddim_sample(denoise_fn: Callable, tables: DDIMTables, x_T: jax.Array,
                 sub, x.shape, x.dtype)
         return (x_prev, key), None
 
+    return body, S
+
+
+def ddim_sample(denoise_fn: Callable, tables: DDIMTables, x_T: jax.Array,
+                cond: jax.Array, uncond: Optional[jax.Array] = None,
+                uc_scale: float = 1.0, eta_noise_key: Optional[jax.Array] = None,
+                temperature: float = 1.0,
+                cfg_fn: Optional[Callable] = None) -> jax.Array:
+    """Run the full DDIM chain from x_T.
+
+    denoise_fn(x, t, c) → ε̂ with x [B, ...], t [B] int32, c [B, ...].
+    CFG runs uncond+cond through one 2B-batched call exactly like the
+    reference; with uncond=None or uc_scale==1 a single call is used.
+
+    ``cfg_fn(x, t, cond_full) → ε̂ [2B, ...]`` is the optional CFG-deduped
+    denoiser (x/t at batch B, cond_full = [uncond ‖ cond]): the UNet shares
+    the context-free prefix between the halves (nn/unet3d.py cfg_pair).
+    """
+    body, S = _make_body(denoise_fn, tables, x_T.shape[0], cond, uncond,
+                         uc_scale, eta_noise_key, temperature, cfg_fn)
     key0 = eta_noise_key if eta_noise_key is not None else jax.random.PRNGKey(0)
     (x_final, _), _ = jax.lax.scan(body, (x_T, key0), jnp.arange(S))
     return x_final
+
+
+def ddim_step(denoise_fn: Callable, tables: DDIMTables, x: jax.Array,
+              key: jax.Array, idx: jax.Array, cond: jax.Array,
+              uncond: Optional[jax.Array] = None, uc_scale: float = 1.0,
+              stochastic_eta: bool = False, temperature: float = 1.0,
+              cfg_fn: Optional[Callable] = None):
+    """ONE DDIM update at scan index ``idx`` (0 = the t=T step) —
+    the exact `_make_body` step the compiled chain scans over, exposed so
+    a host loop can drive the chain one jitted step at a time.
+
+    Why this exists: on a tunneled TPU whose connection restarts every
+    few tens of minutes, the single compiled DDIM-100 chain is a ~40 min
+    compile — LONGER than the tunnel's stable window, so the compile
+    never completes (EVAL r3/r4 post-mortem). One step compiles in
+    minutes, persists to the compile cache, and the host loop re-enqueues
+    it S times with ``idx`` as data (one executable for all steps, async
+    dispatch keeps the device busy). ``stochastic_eta`` must be
+    ``eta_noise_key is not None and any(sigmas != 0)``, i.e. the same
+    predicate the chain bakes in — pass the chain's key threading
+    verbatim and the host loop is numerically identical to the scan
+    (asserted by tests/test_ddim_host_loop.py).
+    """
+    body, _ = _make_body(
+        denoise_fn, tables, x.shape[0], cond, uncond, uc_scale,
+        jax.random.PRNGKey(0) if stochastic_eta else None,
+        temperature, cfg_fn)
+    (x_prev, key), _ = body((x, key), jnp.asarray(idx, jnp.int32))
+    return x_prev, key

@@ -290,10 +290,15 @@ class CommonScenesV2Full:
                 uc_scale, shared_noise, shape_mask, sampler, slot_sharding,
                 decode)
 
-    def _gen_shapes_impl(self, variables, uc_rel, c_rel, k_noise,
-                         shape_slot_idx, tables, uc_scale, shared_noise,
-                         shape_mask=None, sampler: str = "ddim",
-                         slot_sharding=None, decode: bool = True):
+    def denoise_prep(self, variables, uc_rel, c_rel, k_noise,
+                     shape_slot_idx=None, shared_noise: bool = True,
+                     slot_sharding=None):
+        """The x_T draw + conditioning prep of :meth:`gen_latents`, as its
+        own (tiny, fast-compiling) program — the entry half of the
+        host-driven denoise loop (see :meth:`denoise_step`). Same key
+        split and same ops as the fused chain: ``(x_T, c_in, uc_in,
+        k_eta)`` here feed ``S`` :meth:`denoise_step` calls and the result
+        is numerically identical to :meth:`gen_latents`."""
         cfg = self.cfg
         if shape_slot_idx is not None:
             c_rel = jnp.take(c_rel, shape_slot_idx, axis=0)
@@ -319,6 +324,12 @@ class CommonScenesV2Full:
             x_T = jax.lax.with_sharding_constraint(x_T, slot_sharding)
             c_in = jax.lax.with_sharding_constraint(c_in, slot_sharding)
             uc_in = jax.lax.with_sharding_constraint(uc_in, slot_sharding)
+        return x_T, c_in, uc_in, k_eta
+
+    def _denoiser_fns(self, variables):
+        """(denoise_fn, cfg_fn) pair shared by the fused chain and the
+        host-driven step."""
+        cfg = self.cfg
 
         def denoise_fn(x, t, c):
             # inference=True: forward-only program → inference-only kernel
@@ -337,6 +348,54 @@ class CommonScenesV2Full:
             def cfg_fn(x, t, c_full):  # noqa: F811
                 return self.denoiser.apply(variables["df"], x, t, c_full,
                                            cfg_pair=True, inference=True)
+        return denoise_fn, cfg_fn
+
+    def denoise_step(self, variables, x, key, idx, c_in, uc_in,
+                     ddim_tables=None, uc_scale: Optional[float] = None,
+                     slot_sharding=None):
+        """ONE DDIM step of the denoise chain (scan index ``idx``; 0 is
+        the t=T step) — the host-loop counterpart of :meth:`gen_latents`.
+
+        Rationale: the compiled DDIM-100 chain is a ~40-minute single
+        compile on the tunneled device, longer than the tunnel's stable
+        window — the r3/r4 eval chains died mid-compile every attempt.
+        One step compiles in minutes and is reused for all ``S`` steps
+        (``idx`` is data). Drive it as::
+
+            x, c, uc, key = jit(denoise_prep)(...)
+            for i in range(S):
+                x, key = jit(denoise_step)(x, key, i, c, uc)
+
+        Numerical parity with the fused scan is pinned by
+        tests/test_ddim_host_loop.py. Reference chain:
+        samplers/ddim.py:125-179 (itself a python loop per step).
+        """
+        from commonscenes_tpu.diffusion.ddim import ddim_step
+        from commonscenes_tpu.nn.conv3d import inference_trace
+        import numpy as _np
+
+        cfg = self.cfg
+        uc_scale = cfg.diffusion.uc_scale if uc_scale is None else uc_scale
+        tables = ddim_tables if ddim_tables is not None else self.ddim_tables
+        if slot_sharding is not None:
+            x = jax.lax.with_sharding_constraint(x, slot_sharding)
+        with inference_trace(True):
+            denoise_fn, cfg_fn = self._denoiser_fns(variables)
+            # the fused chain always threads k_eta, so its stochastic
+            # predicate reduces to any(sigma != 0) — mirror it exactly
+            stoch = bool(_np.any(_np.asarray(tables.sigmas) != 0.0))
+            return ddim_step(denoise_fn, tables, x, key, idx, c_in, uc_in,
+                             uc_scale=uc_scale, stochastic_eta=stoch,
+                             cfg_fn=cfg_fn)
+
+    def _gen_shapes_impl(self, variables, uc_rel, c_rel, k_noise,
+                         shape_slot_idx, tables, uc_scale, shared_noise,
+                         shape_mask=None, sampler: str = "ddim",
+                         slot_sharding=None, decode: bool = True):
+        x_T, c_in, uc_in, k_eta = self.denoise_prep(
+            variables, uc_rel, c_rel, k_noise, shape_slot_idx,
+            shared_noise, slot_sharding)
+        denoise_fn, cfg_fn = self._denoiser_fns(variables)
 
         if sampler == "plms":
             from commonscenes_tpu.diffusion.plms import plms_sample

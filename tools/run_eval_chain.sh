@@ -80,6 +80,7 @@ if [ "$FROM" -le 4 ]; then
 echo "=== [4/8] eval: SCA + diversity + exports + renders ==="
 retry python -m commonscenes_tpu.cli.eval_3dfront --exp "$EXP" --epoch "$LAST" \
     --dataset "$TREE" --num_scenes "$NUM_EVAL" --gen_shape True \
+    --host_denoise 1 \
     --evaluate_diversity True --num_samples 3 \
     --export_dir "$OUT/exports" --render_dir "$OUT/renders" \
     --out "$OUT/sca_report.json" \
@@ -90,6 +91,7 @@ if [ "$FROM" -le 5 ]; then
 echo "=== [5/8] eval: manipulation (relationship) SCA ==="
 retry python -m commonscenes_tpu.cli.eval_3dfront --exp "$EXP" --epoch "$LAST" \
     --dataset "$TREE" --num_scenes "$NUM_EVAL" --gen_shape True \
+    --host_denoise 1 \
     --out "$OUT/sca_relationship.json" \
     --manipulation relationship 2>&1 | tee "$OUT/sca_relationship.log"
 fi
