@@ -76,6 +76,14 @@ retry python -m commonscenes_tpu.cli.train_3dfront --network_type v2_full \
 fi
 cp "$EXP/logs/loss_log.txt" "$OUT/loss_log.txt" 2>/dev/null || true
 
+if [ "$FROM" -ge 4 ] && [ ! -e "$EXP/checkpoint/model_$LAST" ]; then
+    # resuming past training with a wrong NEPOCH would silently evaluate
+    # random init (the CLI's missing-checkpoint probe behavior) — refuse
+    echo "[!] $EXP/checkpoint/model_$LAST missing — set NEPOCH to match" >&2
+    ls "$EXP/checkpoint" >&2 || true
+    exit 2
+fi
+
 if [ "$FROM" -le 4 ]; then
 echo "=== [4/8] eval: SCA + diversity + exports + renders ==="
 retry python -m commonscenes_tpu.cli.eval_3dfront --exp "$EXP" --epoch "$LAST" \
