@@ -8,17 +8,24 @@
 # turn. Observed live in round 5: step 4 slept 30+ min at "compiling
 # denoise-step stage" with 3.5 MB queued to a dead tunnel port.
 #
-# Strategy: watch the step's tee'd log file; if it goes stale for longer
-# than STALE_S while the chain is alive, kill the chain shell's python
-# descendants (found by walking /proc children of the KNOWN chain PID —
-# never by command-line pattern). The retry loop in run_eval_chain.sh then
+# Discriminator: a HEALTHY long remote compile keeps Send-Q at 0 (request
+# long since delivered, client waiting for the reply); a dead tunnel shows
+# bytes wedged in Send-Q on every sample (the client re-sends the RPC to
+# one relay port after another and nothing drains). Log staleness alone
+# CANNOT tell these apart — a single denoise-step compile was observed
+# healthy at 20+ minutes. So: kill only when the step log is stale AND the
+# chain's python shows a nonzero Send-Q on STRIKES consecutive samples.
+#
+# Kill targets are found by walking /proc children of the KNOWN chain PID —
+# never by command-line pattern. The retry loop in run_eval_chain.sh then
 # relaunches the CLI, which resumes from the persistent compile cache.
 #
-# Usage: bash tools/watchdog_chain.sh <chain_pid> <logfile> [stale_s]
+# Usage: bash tools/watchdog_chain.sh <chain_pid> <logfile> [stale_s] [strikes]
 set -u
 CHAIN_PID=${1:?chain pid}
 LOG=${2:?log file}
 STALE_S=${3:-900}
+STRIKES=${4:-5}
 
 descendants() {  # all descendant PIDs of $1, via /proc/*/task/*/children
     local pid=$1 out="" queue=("$1")
@@ -34,20 +41,45 @@ descendants() {  # all descendant PIDs of $1, via /proc/*/task/*/children
     echo "$out"
 }
 
+sendq() {  # total Send-Q bytes across sockets owned by pid $1
+    ss -tnp 2>/dev/null | awk -v pid="pid=$1," '
+        index($0, pid) { s += $2 } END { print s + 0 }'
+}
+
+strikes=0
 while kill -0 "$CHAIN_PID" 2>/dev/null; do
     sleep 60
     [ -e "$LOG" ] || continue
     now=$(date +%s); mt=$(stat -c %Y "$LOG" 2>/dev/null || echo "$now")
     age=$((now - mt))
-    if [ "$age" -ge "$STALE_S" ]; then
-        echo "[watchdog $(date +%H:%M:%S)] $LOG stale ${age}s — killing chain pythons"
+    if [ "$age" -lt "$STALE_S" ]; then
+        strikes=0
+        continue
+    fi
+    wedged=0
+    for pid in $(descendants "$CHAIN_PID"); do
+        comm=$(cat /proc/"$pid"/comm 2>/dev/null || true)
+        case "$comm" in python*)
+            q=$(sendq "$pid")
+            [ "$q" -gt 0 ] && wedged=1
+        esac
+    done
+    if [ "$wedged" -eq 1 ]; then
+        strikes=$((strikes + 1))
+        echo "[watchdog $(date +%H:%M:%S)] log stale ${age}s, Send-Q wedged (strike $strikes/$STRIKES)"
+    else
+        strikes=0
+    fi
+    if [ "$strikes" -ge "$STRIKES" ]; then
+        echo "[watchdog $(date +%H:%M:%S)] dead tunnel — killing chain pythons"
         for pid in $(descendants "$CHAIN_PID"); do
             comm=$(cat /proc/"$pid"/comm 2>/dev/null || true)
-            if [ "$comm" = python ] || [ "$comm" = python3 ]; then
-                echo "[watchdog] kill -9 $pid ($comm)"
+            case "$comm" in python*)
+                echo "[watchdog] kill -9 $pid"
                 kill -9 "$pid" 2>/dev/null || true
-            fi
+            esac
         done
+        strikes=0
         sleep 120   # give the retry loop time to respawn + touch the log
     fi
 done
