@@ -16,6 +16,17 @@
 # healthy at 20+ minutes. So: kill only when the step log is stale AND the
 # chain's python shows a nonzero Send-Q on STRIKES consecutive samples.
 #
+# Second failure mode (observed r5, epoch-0 checkpoint save): the tunnel
+# restarts mid-RPC, the client reconnects to a fresh relay that has no
+# memory of the request, and then waits forever with Send-Q ZERO — the
+# Send-Q discriminator never fires. Signature via `ss -ti`: lastrcv on
+# every tunnel socket grows unboundedly (no reply bytes EVER arrive, not
+# even gRPC keepalives). A healthy long compile is indistinguishable
+# except by duration, so this path uses a much larger threshold:
+# RECV_STALE_S (default 1500 s = 25 min of zero received bytes) and its
+# own strike counter. Cost of a false kill is bounded: the persistent
+# compile cache makes the retried CLI resume all COMPLETED compiles.
+#
 # Kill targets are found by walking /proc children of the KNOWN chain PID —
 # never by command-line pattern. The retry loop in run_eval_chain.sh then
 # relaunches the CLI, which resumes from the persistent compile cache.
@@ -26,6 +37,8 @@ CHAIN_PID=${1:?chain pid}
 LOG=${2:?log file}
 STALE_S=${3:-900}
 STRIKES=${4:-5}
+RECV_STALE_S=${5:-1500}
+RECV_STRIKES=${6:-3}
 
 descendants() {  # all descendant PIDs of $1, via /proc/*/task/*/children
     local pid=$1 out="" queue=("$1")
@@ -46,41 +59,80 @@ sendq() {  # total Send-Q bytes across sockets owned by pid $1
         index($0, pid) { s += $2 } END { print s + 0 }'
 }
 
+min_lastrcv_ms() {  # min lastrcv (ms) across ESTAB sockets of pid $1;
+                    # -1 when the pid owns no established socket (treat as
+                    # healthy: CLI may be in a pure-CPU phase)
+    ss -tinp 2>/dev/null | awk -v pid="pid=$1," '
+        /^ESTAB/ { take = index($0, pid) > 0; next }
+        take {
+            if (match($0, /lastrcv:[0-9]+/)) {
+                v = substr($0, RSTART + 8, RLENGTH - 8) + 0
+                if (best < 0 || v < best) best = v
+            }
+            take = 0
+        }
+        BEGIN { best = -1 } END { print best }'
+}
+
+kill_pythons() {
+    echo "[watchdog $(date +%H:%M:%S)] $1 — killing chain pythons"
+    for pid in $(descendants "$CHAIN_PID"); do
+        comm=$(cat /proc/"$pid"/comm 2>/dev/null || true)
+        case "$comm" in python*)
+            echo "[watchdog] kill -9 $pid"
+            kill -9 "$pid" 2>/dev/null || true
+        esac
+    done
+}
+
 strikes=0
+rstrikes=0
 while kill -0 "$CHAIN_PID" 2>/dev/null; do
     sleep 60
     [ -e "$LOG" ] || continue
     now=$(date +%s); mt=$(stat -c %Y "$LOG" 2>/dev/null || echo "$now")
     age=$((now - mt))
     if [ "$age" -lt "$STALE_S" ]; then
-        strikes=0
+        strikes=0; rstrikes=0
         continue
     fi
-    wedged=0
+    wedged=0; any_py=0; saw_recent=0; saw_stale=0
     for pid in $(descendants "$CHAIN_PID"); do
         comm=$(cat /proc/"$pid"/comm 2>/dev/null || true)
         case "$comm" in python*)
+            any_py=1
             q=$(sendq "$pid")
             [ "$q" -gt 0 ] && wedged=1
+            r=$(min_lastrcv_ms "$pid")
+            if [ "$r" -ge 0 ] && [ "$r" -lt $((RECV_STALE_S * 1000)) ]; then
+                saw_recent=1   # this python heard from the tunnel recently
+            elif [ "$r" -ge $((RECV_STALE_S * 1000)) ]; then
+                saw_stale=1
+            fi
         esac
     done
+    [ "$any_py" -eq 0 ] && { strikes=0; rstrikes=0; continue; }
+    starved=$((saw_stale == 1 && saw_recent == 0))
     if [ "$wedged" -eq 1 ]; then
         strikes=$((strikes + 1))
         echo "[watchdog $(date +%H:%M:%S)] log stale ${age}s, Send-Q wedged (strike $strikes/$STRIKES)"
     else
         strikes=0
     fi
+    if [ "$starved" -eq 1 ]; then
+        rstrikes=$((rstrikes + 1))
+        echo "[watchdog $(date +%H:%M:%S)] log stale ${age}s, no bytes received >${RECV_STALE_S}s (strike $rstrikes/$RECV_STRIKES)"
+    else
+        rstrikes=0
+    fi
     if [ "$strikes" -ge "$STRIKES" ]; then
-        echo "[watchdog $(date +%H:%M:%S)] dead tunnel — killing chain pythons"
-        for pid in $(descendants "$CHAIN_PID"); do
-            comm=$(cat /proc/"$pid"/comm 2>/dev/null || true)
-            case "$comm" in python*)
-                echo "[watchdog] kill -9 $pid"
-                kill -9 "$pid" 2>/dev/null || true
-            esac
-        done
-        strikes=0
+        kill_pythons "dead tunnel (wedged Send-Q)"
+        strikes=0; rstrikes=0
         sleep 120   # give the retry loop time to respawn + touch the log
+    elif [ "$rstrikes" -ge "$RECV_STRIKES" ]; then
+        kill_pythons "dead tunnel (lost reply: zero received bytes)"
+        strikes=0; rstrikes=0
+        sleep 120
     fi
 done
 echo "[watchdog] chain $CHAIN_PID gone — exiting"
