@@ -246,7 +246,7 @@ def main(argv=None):
     ckpt_dir = os.path.join(args.exp, "checkpoint")
     os.makedirs(ckpt_dir, exist_ok=True)
     save_checkpoint(os.path.join(ckpt_dir, f"model_{epoch}"),
-                    jax.device_get(state), epoch=epoch)
+                    state, epoch=epoch)
     rel_keys = ({"rel_hidden_concat": hp["rel_hidden"],
                  "rel_out_concat": hp["rel_out"]}
                 if hp["conditioning_key"] == "concat" else
@@ -391,7 +391,7 @@ def _import_v1full(args, merged):
     ckpt_dir = os.path.join(args.exp, "checkpoint")
     os.makedirs(ckpt_dir, exist_ok=True)
     save_v1_checkpoint(os.path.join(ckpt_dir, f"model_{epoch}"),
-                       jax.device_get(state), epoch=epoch)
+                       state, epoch=epoch)
     with open(os.path.join(args.exp, "args.json"), "w") as f:
         json.dump({"network_type": "v1_full", "outf": "checkpoint",
                    "with_CLIP": False, "with_SDF": False,

@@ -85,6 +85,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_every", type=int, default=100,
                    help="scalar-log cadence in steps (reference Visualizer "
                         "print_freq, scripts/train_3dfront.py:330)")
+    p.add_argument("--save_every", type=int, default=15,
+                   help="checkpoint every N epochs (reference cadence "
+                        "epoch %% 15, scripts/train_3dfront.py:560; the "
+                        "final epoch always saves; 0 = final epoch only — "
+                        "each v2_full save fetches the 5.35 GB state over "
+                        "the device link, ~9 min on the tunneled TPU)")
     p.add_argument("--debug_nans", type=bool_flag, default=False,
                    help="enable jax_debug_nans: every jitted program "
                         "re-runs un-jitted on a NaN and raises at the "
@@ -371,16 +377,21 @@ def main(argv=None):
             print(f"[*] epoch {epoch} done in {dt:.1f}s "
                   f"({steps_done * cfg.batch.batch_size / dt:.2f} scenes/s, "
                   f"{steps_done}/{steps} steps)")
-            if epoch % 15 == 0 or epoch == args.nepoch - 1:
+            # NOTE: the state is passed on-device — save_checkpoint fetches
+            # it host-side sequentially in ≤64 MB chunks. A whole-tree
+            # jax.device_get here wedges the tunneled-TPU relay (5.35 GB
+            # concurrent gather; see checkpoints.fetch_tree_chunked).
+            if (args.save_every > 0 and epoch % args.save_every == 0) \
+                    or epoch == args.nepoch - 1:
                 if v1_full:
                     from commonscenes_tpu.train.checkpoints import \
                         save_v1_checkpoint
                     save_v1_checkpoint(os.path.join(ckpt_dir,
                                                     f"model_{epoch}"),
-                                       jax.device_get(state), epoch=epoch)
+                                       state, epoch=epoch)
                 else:
                     save_checkpoint(os.path.join(ckpt_dir, f"model_{epoch}"),
-                                    jax.device_get(state), epoch=epoch)
+                                    state, epoch=epoch)
                 print(f"[*] saved model_{epoch}")
         logger.close()
 

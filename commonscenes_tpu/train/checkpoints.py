@@ -21,8 +21,67 @@ import jax
 import numpy as np
 
 
+def fetch_tree_chunked(tree, chunk_bytes: Optional[int] = None,
+                       log_label: str = "", force: bool = False) -> Any:
+    """Sequentially fetch a device pytree to host numpy, slicing any leaf
+    larger than ``chunk_bytes`` into flat ``lax.dynamic_slice`` pieces.
+
+    Exists for the tunneled-TPU transport: the v2_full train state is
+    5.35 GB, and letting orbax gather it directly wedges the relay — two
+    independent runs froze at bytes_received≈5,349,939,825 with the
+    socket permanently silent (measured round 5; tools/probe_tunnel.py).
+    The same transport moves 6+ GB without issue as sequential ≤64 MB
+    fetches (~10 MB/s), while a single 97.5 MB array fetch degrades to
+    ~0.3 MB/s. So: one leaf at a time, big leaves in flat chunks, nothing
+    concurrent. On the CPU backend this is skipped entirely (tests,
+    virtual-mesh dryruns): plain ``np.asarray`` per leaf.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    if chunk_bytes is None:
+        chunk_bytes = int(float(os.environ.get(
+            "COMMONSCENES_FETCH_CHUNK_MB", "64")) * 1e6)
+
+    cpu = jax.default_backend() == "cpu" and not force
+    done_mb = [0.0]
+
+    def fetch(leaf):
+        if not hasattr(leaf, "shape"):
+            return leaf
+        nbytes = int(np.prod(leaf.shape or (1,))) * \
+            np.dtype(leaf.dtype).itemsize
+        if cpu or nbytes <= chunk_bytes or not isinstance(leaf, jax.Array):
+            out = np.asarray(leaf)
+        else:
+            flat = jnp.ravel(leaf)
+            n = flat.shape[0]
+            per = max(1, int(chunk_bytes // np.dtype(leaf.dtype).itemsize))
+            pieces = []
+            i = 0
+            while i < n:
+                m = min(per, n - i)
+                # static slice size per (dtype, m): at most two programs
+                # per distinct leaf geometry (full chunk + tail)
+                piece = lax.dynamic_slice(flat, (i,), (m,))
+                pieces.append(np.asarray(piece))
+                i += m
+            out = np.concatenate(pieces).reshape(leaf.shape)
+        done_mb[0] += out.nbytes / 1e6
+        if log_label and out.nbytes > chunk_bytes / 2:
+            print(f"[ckpt-fetch {log_label}] {done_mb[0]:9.1f} MB done",
+                  flush=True)
+        return out
+
+    return jax.tree.map(fetch, tree)
+
+
 def save_checkpoint(path: str, state, epoch: int = 0) -> None:
-    """Write the TrainState with reference-like sub-trees via orbax."""
+    """Write the TrainState with reference-like sub-trees via orbax.
+
+    The device→host gather happens HERE, sequentially and chunked
+    (``fetch_tree_chunked``) — orbax only ever sees host numpy, so its
+    concurrent array gathers never touch the tunnel transport."""
     import orbax.checkpoint as ocp
     path = os.path.abspath(path)
     tree = {
@@ -36,6 +95,7 @@ def save_checkpoint(path: str, state, epoch: int = 0) -> None:
         "meta": {"epoch": np.asarray(epoch),
                  "counter": np.asarray(state.step)},
     }
+    tree = fetch_tree_chunked(tree, log_label=f"epoch{epoch}")
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, tree, force=True)
     ckptr.wait_until_finished()
@@ -758,6 +818,7 @@ def save_v1_checkpoint(path: str, state, epoch: int = 0) -> None:
         "meta": {"epoch": np.asarray(epoch),
                  "counter": np.asarray(state.step)},
     }
+    tree = fetch_tree_chunked(tree, log_label=f"v1-epoch{epoch}")
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(os.path.abspath(path), tree, force=True)
     ckptr.wait_until_finished()

@@ -132,3 +132,30 @@ def test_torch_vqvae_import_shapes():
     rec, _ = model.apply({"params": params}, x)
     assert rec.shape == x.shape
     assert np.all(np.isfinite(np.asarray(rec)))
+
+
+def test_fetch_tree_chunked_matches_whole_fetch():
+    """The chunked device→host fetch (tunnel-relay workaround — a whole-tree
+    device_get of the 5.35 GB v2_full state wedges the tunneled TPU; see
+    checkpoints.fetch_tree_chunked) must reassemble every leaf bit-exactly,
+    including non-divisible chunk tails, scalars, and non-array leaves."""
+    from commonscenes_tpu.train.checkpoints import fetch_tree_chunked
+
+    key = jax.random.PRNGKey(7)
+    tree = {
+        "big": jax.random.normal(key, (3, 3, 3, 21, 17)),   # odd tail
+        "mid": jnp.arange(1001, dtype=jnp.int32),
+        "scalar": jnp.float32(2.5),
+        "np_leaf": np.ones((4, 4), np.float32),
+        "none": None,
+        "pybool": True,
+    }
+    out = fetch_tree_chunked(tree, chunk_bytes=4096, force=True,
+                             log_label="")
+    assert isinstance(out["big"], np.ndarray)
+    np.testing.assert_array_equal(out["big"], np.asarray(tree["big"]))
+    np.testing.assert_array_equal(out["mid"],
+                                  np.arange(1001, dtype=np.int32))
+    assert float(out["scalar"]) == 2.5
+    np.testing.assert_array_equal(out["np_leaf"], tree["np_leaf"])
+    assert out["none"] is None and out["pybool"] is True

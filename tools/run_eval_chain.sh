@@ -68,10 +68,13 @@ echo "=== [3/8] train v2_full (brief) ==="
 # so the committed loss log shows the step-wise decay actually firing
 TOTAL=$((NEPOCH * STEPS))
 MILES="$((TOTAL * 3 / 10)),$((TOTAL * 6 / 10)),$((TOTAL * 9 / 10))"
+# --save_every 0: only the final epoch saves — each v2_full save fetches
+# the 5.35 GB train state over the tunnel (~9 min, and the eval stages
+# only ever load model_$LAST)
 retry python -m commonscenes_tpu.cli.train_3dfront --network_type v2_full \
     --dataset "$TREE" --nepoch "$NEPOCH" --steps_per_epoch "$STEPS" \
     --batchSize "$BS" --max_objs 10 --max_triples 48 --exp "$EXP" \
-    --lr_milestones "$MILES" \
+    --lr_milestones "$MILES" --save_every 0 \
     --vis_every 0 --log_every 10 2>&1 | tail -8
 fi
 cp "$EXP/logs/loss_log.txt" "$OUT/loss_log.txt" 2>/dev/null || true
