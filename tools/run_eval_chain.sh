@@ -32,19 +32,37 @@ FROM=${FROM:-1}   # resume from step N (tunnel flakiness can kill a run
 RETRIES=${RETRIES:-12}
 
 # The tunneled TPU restarts at random (~tens of minutes apart), killing any
-# in-flight remote compile with "Broken pipe". Every CLI persists compiled
-# programs to the compile cache and eval stages its sampler into separate
-# jits (--staged_sample), so each retry resumes where the last one died.
+# in-flight remote compile with "Broken pipe" — or, worse, leaving it hung
+# forever (lost-reply mode; see tools/watchdog_chain.sh). Every CLI persists
+# compiled programs to the compile cache and eval stages its sampler into
+# separate jits (--staged_sample), so each retry resumes where the last one
+# died. Between attempts, wait_tunnel gates on a bounded tiny-matmul probe
+# (tools/tpu_up.py) so a long outage doesn't burn retries spawning CLIs
+# that immediately hang.
+wait_tunnel() {
+    local w=0
+    until timeout 180 python tools/tpu_up.py >/dev/null 2>&1; do
+        w=$((w + 1))
+        echo "[!] tunnel down (probe $w failed) — waiting 60s" >&2
+        if [ "$w" -ge "${PROBE_LIMIT:-120}" ]; then
+            echo "[!] tunnel never came back after $w probes" >&2
+            return 1
+        fi
+        sleep 60
+    done
+}
 retry() {
     local n=0
+    wait_tunnel || return 1
     until "$@"; do
         n=$((n + 1))
         if [ "$n" -ge "$RETRIES" ]; then
             echo "[!] failed after $RETRIES attempts: $*" >&2
             return 1
         fi
-        echo "[!] attempt $n failed (tunnel drop?) — retrying in 20s" >&2
-        sleep 20
+        echo "[!] attempt $n failed (tunnel drop?) — retrying in ${RETRY_SLEEP:-20}s" >&2
+        sleep "${RETRY_SLEEP:-20}"
+        wait_tunnel || return 1
     done
 }
 
@@ -68,14 +86,34 @@ echo "=== [3/8] train v2_full (brief) ==="
 # so the committed loss log shows the step-wise decay actually firing
 TOTAL=$((NEPOCH * STEPS))
 MILES="$((TOTAL * 3 / 10)),$((TOTAL * 6 / 10)),$((TOTAL * 9 / 10))"
-# --save_every 0: only the final epoch saves — each v2_full save fetches
-# the 5.35 GB train state over the tunnel (~9 min, and the eval stages
-# only ever load model_$LAST)
-retry python -m commonscenes_tpu.cli.train_3dfront --network_type v2_full \
-    --dataset "$TREE" --nepoch "$NEPOCH" --steps_per_epoch "$STEPS" \
-    --batchSize "$BS" --max_objs 10 --max_triples 48 --exp "$EXP" \
-    --lr_milestones "$MILES" --save_every 0 \
-    --vis_every 0 --log_every 10 2>&1 | tail -8
+# SAVE_EVERY=0 (default): only the final epoch saves — each v2_full save
+# fetches the 5.35 GB train state over the tunnel (~9 min chunked) and the
+# eval stages only ever load model_$LAST. For long runs set SAVE_EVERY=15:
+# train_resumable then restarts each retry from the newest mid-save instead
+# of epoch 0.
+train_resumable() {
+    local latest=-1 n
+    for d in "$EXP/checkpoint"/model_*; do
+        [ -e "$d" ] || continue
+        n=${d##*model_}
+        case "$n" in *[!0-9]*) continue ;; esac
+        [ "$n" -gt "$latest" ] && latest=$n
+    done
+    local extra=()
+    if [ "$latest" -ge 0 ] && [ "$latest" -lt "$LAST" ]; then
+        echo "[*] resuming train from saved epoch $latest" >&2
+        extra=(--loadmodel True --loadepoch "$latest")
+    elif [ "$latest" -eq "$LAST" ]; then
+        echo "[*] final checkpoint model_$LAST already saved — skip train" >&2
+        return 0
+    fi
+    python -m commonscenes_tpu.cli.train_3dfront --network_type v2_full \
+        --dataset "$TREE" --nepoch "$NEPOCH" --steps_per_epoch "$STEPS" \
+        --batchSize "$BS" --max_objs 10 --max_triples 48 --exp "$EXP" \
+        --lr_milestones "$MILES" --save_every "${SAVE_EVERY:-0}" \
+        --vis_every 0 --log_every 10 "${extra[@]}"
+}
+retry train_resumable 2>&1 | tail -12
 fi
 cp "$EXP/logs/loss_log.txt" "$OUT/loss_log.txt" 2>/dev/null || true
 
@@ -115,19 +153,19 @@ retry python -m commonscenes_tpu.cli.collect_gt_renders --dataset "$TREE" \
 fi
 
 echo "=== [7/8] MMD/COV/1-NN + FID/KID ==="
-python -m commonscenes_tpu.cli.compute_mmd_cov_1nn \
+retry python -m commonscenes_tpu.cli.compute_mmd_cov_1nn \
     --path_sample "$OUT/exports" --path_ref "$OUT/gt_sdfs" \
     --n_points 1024 --out "$OUT/mmd_cov_1nn.json" \
     2>&1 | tee "$OUT/mmd_cov_1nn.log"
-python -m commonscenes_tpu.cli.compute_fid --path_gt "$OUT/gt_renders" \
+retry python -m commonscenes_tpu.cli.compute_fid --path_gt "$OUT/gt_renders" \
     --path_pred "$OUT/renders" --out "$OUT/fid.json" \
     2>&1 | tee "$OUT/fid.log"
 
 echo "=== [8/8] consistency ==="
-python -m commonscenes_tpu.cli.collect_consistency --dataset "$TREE" \
+retry python -m commonscenes_tpu.cli.collect_consistency --dataset "$TREE" \
     --room_type bedroom --split test \
     --out "$OUT/consistencies_bedroom_test.json"
-python -m commonscenes_tpu.cli.consistency_check \
+retry python -m commonscenes_tpu.cli.consistency_check \
     --export_dir "$OUT/exports" \
     --pairs_json "$OUT/consistencies_bedroom_test.json" \
     --out "$OUT/consistency.json" 2>&1 | tee "$OUT/consistency.log"

@@ -21,12 +21,22 @@ if [ -n "${WAIT_PID:-}" ]; then
     echo "[queue] chain done at $(date +%H:%M:%S)"
 fi
 
+wait_tunnel() {  # bounded probe; see tools/tpu_up.py (lost-reply mode)
+    local w=0
+    until timeout 180 python tools/tpu_up.py >/dev/null 2>&1; do
+        w=$((w + 1))
+        [ "$w" -ge "${PROBE_LIMIT:-120}" ] && { echo "[queue] tunnel never returned"; return 1; }
+        echo "[queue] tunnel down (probe $w) — waiting 60s"; sleep 60
+    done
+}
 retry() {  # tunnel drops present as process death; compile cache resumes
     local n=0
+    wait_tunnel || return 1
     until "$@"; do
         n=$((n + 1))
         [ "$n" -ge "${RETRIES:-8}" ] && { echo "[queue] gave up: $*"; return 1; }
         echo "[queue] attempt $n failed — retry in 30s"; sleep 30
+        wait_tunnel || return 1
     done
 }
 
@@ -37,6 +47,7 @@ retry timeout 3600 python tools/profile_b2.py > "$OUT/profile_b2.json" \
 echo "=== [2/6] profile_b2 traced iteration ==="
 # warm cache from step 1 → cheap; trace capture over the axon tunnel is
 # unproven, so a failure here must not sink the queue
+wait_tunnel || true
 PROFILE_TRACE_DIR="$OUT/trace" timeout 3600 \
     python tools/profile_b2.py > "$OUT/profile_b2_traced.json" \
     2> "$OUT/profile_b2_traced.log" || echo "[queue] traced run failed (ok)"
@@ -47,10 +58,12 @@ python tools/analyze_trace.py "$OUT/trace" --csv "$OUT/op_table.csv" \
     || echo "[queue] no usable trace (ok — phase JSON stands alone)"
 
 echo "=== [4/6] chunk4 + control A/B cells ==="
+wait_tunnel || true
 timeout 7200 python bench_ab.py --only default ss_off_eval_b2_chunk4 \
     2>&1 | tail -20
 
 echo "=== [5/6] ftiled crash bisect ==="
+wait_tunnel || true
 timeout 7200 python tools/repro_ftiled_crash.py \
     > "$OUT/ftiled_repro.jsonl" 2> "$OUT/ftiled_repro.log" \
     || echo "[queue] ftiled repro nonzero rc (expected at the crash depth)"

@@ -31,6 +31,15 @@
 # never by command-line pattern. The retry loop in run_eval_chain.sh then
 # relaunches the CLI, which resumes from the persistent compile cache.
 #
+# Third failure mode (observed r5 day-2, fresh boot): the relay accepts
+# local connections but the far side never answers ANY RPC — the client
+# hangs inside its first compile with NO TCP socket at all (only internal
+# unix-stream self-pipes). Neither Send-Q nor lastrcv can see this, so:
+# if the log is stale AND no chain python owns any ESTAB TCP socket for
+# NOSOCK_STRIKES consecutive samples, kill. False-positive risk is a long
+# pure-local CPU phase, which no chain step has past the first minute —
+# every heavy phase holds a connection to the relay while waiting.
+#
 # Usage: bash tools/watchdog_chain.sh <chain_pid> <logfile> [stale_s] [strikes]
 set -u
 CHAIN_PID=${1:?chain pid}
@@ -39,6 +48,7 @@ STALE_S=${3:-900}
 STRIKES=${4:-5}
 RECV_STALE_S=${5:-1500}
 RECV_STRIKES=${6:-3}
+NOSOCK_STRIKES=${7:-8}
 
 descendants() {  # all descendant PIDs of $1, via /proc/*/task/*/children
     local pid=$1 out="" queue=("$1")
@@ -87,31 +97,34 @@ kill_pythons() {
 
 strikes=0
 rstrikes=0
+nstrikes=0
 while kill -0 "$CHAIN_PID" 2>/dev/null; do
     sleep 60
     [ -e "$LOG" ] || continue
     now=$(date +%s); mt=$(stat -c %Y "$LOG" 2>/dev/null || echo "$now")
     age=$((now - mt))
     if [ "$age" -lt "$STALE_S" ]; then
-        strikes=0; rstrikes=0
+        strikes=0; rstrikes=0; nstrikes=0
         continue
     fi
-    wedged=0; any_py=0; saw_recent=0; saw_stale=0
+    wedged=0; any_py=0; saw_recent=0; saw_stale=0; saw_sock=0
     for pid in $(descendants "$CHAIN_PID"); do
         comm=$(cat /proc/"$pid"/comm 2>/dev/null || true)
         case "$comm" in python*)
             any_py=1
             q=$(sendq "$pid")
-            [ "$q" -gt 0 ] && wedged=1
+            [ "$q" -gt 0 ] && { wedged=1; saw_sock=1; }
             r=$(min_lastrcv_ms "$pid")
             if [ "$r" -ge 0 ] && [ "$r" -lt $((RECV_STALE_S * 1000)) ]; then
                 saw_recent=1   # this python heard from the tunnel recently
+                saw_sock=1
             elif [ "$r" -ge $((RECV_STALE_S * 1000)) ]; then
                 saw_stale=1
+                saw_sock=1
             fi
         esac
     done
-    [ "$any_py" -eq 0 ] && { strikes=0; rstrikes=0; continue; }
+    [ "$any_py" -eq 0 ] && { strikes=0; rstrikes=0; nstrikes=0; continue; }
     starved=$((saw_stale == 1 && saw_recent == 0))
     if [ "$wedged" -eq 1 ]; then
         strikes=$((strikes + 1))
@@ -125,13 +138,23 @@ while kill -0 "$CHAIN_PID" 2>/dev/null; do
     else
         rstrikes=0
     fi
+    if [ "$saw_sock" -eq 0 ]; then
+        nstrikes=$((nstrikes + 1))
+        echo "[watchdog $(date +%H:%M:%S)] log stale ${age}s, no tunnel socket at all (strike $nstrikes/$NOSOCK_STRIKES)"
+    else
+        nstrikes=0
+    fi
     if [ "$strikes" -ge "$STRIKES" ]; then
         kill_pythons "dead tunnel (wedged Send-Q)"
-        strikes=0; rstrikes=0
+        strikes=0; rstrikes=0; nstrikes=0
         sleep 120   # give the retry loop time to respawn + touch the log
     elif [ "$rstrikes" -ge "$RECV_STRIKES" ]; then
         kill_pythons "dead tunnel (lost reply: zero received bytes)"
-        strikes=0; rstrikes=0
+        strikes=0; rstrikes=0; nstrikes=0
+        sleep 120
+    elif [ "$nstrikes" -ge "$NOSOCK_STRIKES" ]; then
+        kill_pythons "dead tunnel (hung client with no TCP socket)"
+        strikes=0; rstrikes=0; nstrikes=0
         sleep 120
     fi
 done
