@@ -254,5 +254,66 @@ def main():
     }))
 
 
+def _supervise() -> int:
+    """Driver-facing resilience: the tunneled TPU restarts at random and can
+    wedge an in-flight remote-compile RPC (lost-reply mode) — a bare run
+    then hangs forever, or dies with "Broken pipe", and the end-of-round
+    bench capture gets nothing (observed three times in the r05 eval
+    chain). Run the measurement in a child process instead: gate each
+    attempt on a bounded tunnel-health probe (tools/tpu_up.py), bound each
+    attempt's wall time, and retry across tunnel deaths — the persistent
+    compile cache makes retries resume completed compiles. On success,
+    print only the child's final stdout line (the ONE JSON line).
+    BENCH_SUPERVISE=0 opts out (used by external retry loops, e.g.
+    tools/run_tpu_queue.sh)."""
+    import subprocess
+
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
+    timeout_s = int(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "2700"))
+    probe_limit = int(os.environ.get("BENCH_PROBE_LIMIT", "10"))
+    here = os.path.dirname(os.path.abspath(__file__))
+    probe = os.path.join(here, "tools", "tpu_up.py")
+    env = dict(os.environ, BENCH_SUPERVISE="0")
+
+    for i in range(attempts):
+        for p in range(probe_limit):
+            try:
+                if subprocess.run([sys.executable, probe], timeout=180,
+                                  stdout=subprocess.DEVNULL,
+                                  stderr=subprocess.DEVNULL,
+                                  ).returncode == 0:
+                    break
+            except subprocess.TimeoutExpired:
+                pass
+            print(f"[bench] tunnel down (probe {p + 1}/{probe_limit}) — "
+                  "waiting 60s", file=sys.stderr, flush=True)
+            time.sleep(60)
+        try:
+            # stderr inherits (progress stays visible); stdout is captured
+            # so only the validated JSON line reaches the driver
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               timeout=timeout_s, env=env,
+                               stdout=subprocess.PIPE)
+            lines = (r.stdout or b"").decode().strip().splitlines()
+            if r.returncode == 0 and lines:
+                json.loads(lines[-1])
+                print(lines[-1], flush=True)
+                return 0
+            print(f"[bench] attempt {i + 1} exited rc={r.returncode} "
+                  f"without a JSON line", file=sys.stderr, flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"[bench] attempt {i + 1} timed out after {timeout_s}s",
+                  file=sys.stderr, flush=True)
+        except (json.JSONDecodeError, OSError) as e:
+            print(f"[bench] attempt {i + 1} failed: {e}", file=sys.stderr,
+                  flush=True)
+        if i + 1 < attempts:
+            time.sleep(30)
+    print("[bench] all attempts failed", file=sys.stderr, flush=True)
+    return 1
+
+
 if __name__ == "__main__":
+    if os.environ.get("BENCH_SUPERVISE", "1") != "0":
+        sys.exit(_supervise())
     main()

@@ -69,7 +69,8 @@ timeout 7200 python tools/repro_ftiled_crash.py \
     || echo "[queue] ftiled repro nonzero rc (expected at the crash depth)"
 
 echo "=== [6/6] full bench ==="
-retry timeout 3600 python bench.py > /tmp/bench_r05_final.json 2>/dev/null
+retry timeout 3600 env BENCH_SUPERVISE=0 python bench.py \
+    > /tmp/bench_r05_final.json 2>/dev/null
 tail -1 /tmp/bench_r05_final.json
 
 echo "[queue] all done at $(date +%H:%M:%S)"
