@@ -107,6 +107,16 @@ def build_parser():
                         "(defaults to <dataset>/3D-FUTURE-model)")
     p.add_argument("--stats_limit", type=int, default=0,
                    help="cap train scenes for latent stats (0 = full split)")
+    p.add_argument("--platform", default="",
+                   help="force a jax platform (e.g. 'cpu'). The env var "
+                        "JAX_PLATFORMS is consumed by the plugin before "
+                        "this process can see it, so a tunneled-TPU parent "
+                        "env can only be overridden in-process. Layout-only "
+                        "eval (--gen_shape False) is perfectly serviceable "
+                        "on the CPU backend when the tunnel is down — the "
+                        "per-relation SCA table is computed from sampled "
+                        "layouts alone (reference scripts/"
+                        "eval_3dfront.py:764-780)")
     return p
 
 
@@ -275,6 +285,9 @@ def main(argv=None):
     enable_persistent_cache()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
     from commonscenes_tpu.cli.train_3dfront import build_config, build_parser as tp
@@ -717,29 +730,33 @@ def main(argv=None):
                     if np.asarray(out["sdf"]).ndim == 5 else \
                     np.asarray(out["sdf"], np.float32)
 
-            # diversity resampling (reference eval_3dfront.py:584-719)
-            if gen_shapes and args.evaluate_diversity and not v1_full \
-                    and manip == "none":
+            # diversity resampling (reference eval_3dfront.py:584-719).
+            # Box + angle spread needs only re-sampled LAYOUTS
+            # (eval_3dfront.py:66-90, report :759-762), so it runs in
+            # layout-only mode too; the chamfer shape-diversity term
+            # additionally needs generated SDFs.
+            if args.evaluate_diversity and not v1_full and manip == "none":
                 # drop the duplicated tail scenes of the last ragged batch
                 N = cfg.batch.max_objs
                 valid_sel = np.where(
                     slots[:n_real] // N < n_valid)[0]
-                # the reference also tracks box + angle spread across the
-                # resamples (eval_3dfront.py:66-90, report :759-762)
                 obj_sel = np.where((np.asarray(b.dec.obj_mask)
                                     * row_valid[:, None]).reshape(-1) > 0)[0]
                 for s_idx in range(args.num_samples):
                     key, sub2 = jax.random.split(key)
-                    o = sample_fn(b.dec, sub2, slots_j, True)
-                    sd = np.asarray(o["sdf"], np.float32)[..., 0]
-                    run_sdfs[s_idx].append(sd[:n_real][valid_sel])
+                    o = sample_fn(b.dec, sub2, slots_j, gen_shapes)
+                    if gen_shapes:
+                        sd = np.asarray(o["sdf"], np.float32)[..., 0]
+                        run_sdfs[s_idx].append(sd[:n_real][valid_sel])
                     run_boxes[s_idx].append(
                         denorm(np.asarray(o["boxes"], np.float32))[obj_sel])
                     run_angles[s_idx].append(
                         np.asarray(o["angles"]).argmax(1)[obj_sel]
                         / 24.0 * 360.0)
-                objs_flat = np.asarray(b.dec.objs).reshape(-1)
-                obj_classes_acc.append(objs_flat[slots[:n_real]][valid_sel])
+                if gen_shapes:
+                    objs_flat = np.asarray(b.dec.objs).reshape(-1)
+                    obj_classes_acc.append(
+                        objs_flat[slots[:n_real]][valid_sel])
 
             # retrieval for v1_full (reference decode_g2sv1, VAE.py:296-319)
             retrieved_all = None
@@ -782,10 +799,11 @@ def main(argv=None):
     summary["latent_stats_scenes"] = stats_scenes
 
     if args.evaluate_diversity and any(len(r) for r in run_sdfs):
-        from commonscenes_tpu.eval.diversity import box_angle_diversity
         runs = [np.concatenate(r, 0) for r in run_sdfs if r]
         classes = np.concatenate(obj_classes_acc, 0)
         summary.update(diversity_between_runs(runs, classes))
+    if args.evaluate_diversity and any(len(r) for r in run_boxes):
+        from commonscenes_tpu.eval.diversity import box_angle_diversity
         summary.update(box_angle_diversity(
             [np.concatenate(r, 0) for r in run_boxes if r],
             [np.concatenate(r, 0) for r in run_angles if r]))

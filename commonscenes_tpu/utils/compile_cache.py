@@ -25,11 +25,31 @@ def _default_cache_dir() -> str:
     return os.path.join(base, "commonscenes_jax")
 
 
+def apply_platform_override() -> None:
+    """Honor COMMONSCENES_PLATFORM (e.g. 'cpu') before backend init.
+
+    The parent environment of this container exports JAX_PLATFORMS=axon
+    (the tunneled TPU plugin), which the plugin consumes before any CLI
+    can re-export it — so when the tunnel is down, the only way to run a
+    metric CLI on the CPU backend is an in-process jax.config update.
+    Layout-only eval, GT collection, and the chamfer/MMD math are all
+    serviceable on CPU. A CLI flag (eval_3dfront --platform) takes
+    precedence: it calls jax.config.update after this."""
+    plat = os.environ.get("COMMONSCENES_PLATFORM", "")
+    if plat:
+        import jax
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
+
 def enable_persistent_cache() -> str:
     """Point jax at the persistent compile cache; safe to call any time
     before the first compile. Returns the cache dir (or "" on failure)."""
     import jax
 
+    apply_platform_override()
     cache_dir = os.environ.get("JAX_CACHE_DIR", _default_cache_dir())
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
