@@ -479,28 +479,30 @@ def main(argv=None):
             print("[!] cached latent stats don't match the current "
                   "(dataset, room, stats_limit) — recomputing")
     if mean_est is None:
+        # weights as jit ARGUMENTS (see _vjit below for why closures
+        # over params are poison on the tunneled device)
         if v1_full:
             @jax.jit
-            def _enc_v1(enc, codes):
-                mu, _ = model.apply(variables, enc, codes, train=False,
+            def _enc_v1(v, enc, codes):
+                mu, _ = model.apply(v, enc, codes, train=False,
                                     method=V1FullVAE.encode)
                 return mu
 
             def encode_fn(enc):
                 codes = jnp.asarray(pseudo_shape_codes(
                     np.asarray(enc.objs), dim=cfg.layout.shape_input_dim))
-                return _enc_v1(enc, codes)
+                return _enc_v1(variables, enc, codes)
         else:
             from commonscenes_tpu.models.layout_vae import LayoutVAE
 
             @jax.jit
-            def _enc(enc):
-                mu, _ = model.layout.apply(variables["layout"], enc,
-                                           train=False,
+            def _enc(v, enc):
+                mu, _ = model.layout.apply(v, enc, train=False,
                                            method=LayoutVAE.encode)
                 return mu
 
-            encode_fn = _enc
+            def encode_fn(enc):
+                return _enc(variables["layout"], enc)
         mean_est, cov_est = collect_latent_stats(
             encode_fn, train_set, vocab, cfg.batch, rng, use_clip,
             batch_size=args.stats_batch,
@@ -518,6 +520,20 @@ def main(argv=None):
     # jitted samplers (compiled once per packed-slot bucket K)
     # ------------------------------------------------------------------
     gen_shapes = bool(args.gen_shape and with_shapes)
+
+    def _vjit(f, **jit_kw):
+        """jit with the weights as a real ARGUMENT, not a closure.
+
+        jax 0.9 embeds closed-over arrays in the HLO as literal constants:
+        a jit that closes over the v2_full weights ships the entire UNet
+        inside every remote-compile RPC (~116 MB observed on the tunneled
+        device — longer than the tunnel's stable window, the direct cause
+        of the round-5 denoise-step compile deaths) and keys the
+        persistent compile cache on the weight VALUES, so a new checkpoint
+        recompiles everything. As an argument the weights stay device-
+        resident (passed by reference at dispatch) and the HLO is KBs."""
+        jf = jax.jit(f, **jit_kw)
+        return lambda *a, **kw: jf(variables, *a, **kw)
 
     if not v1_full and args.staged_sample:
         # Staged sampling: layout / denoise / decode as SEPARATE jits.
@@ -544,23 +560,23 @@ def main(argv=None):
                 return f(*a)
             return g
 
-        lay_fn = _staged("layout", jax.jit(
-            lambda dec, k: model.sample_layout(variables, dec, mean_j,
-                                               chol_j, k)))
-        mlay_fn = _staged("manip-layout", jax.jit(
-            lambda batch, k: model.manipulate_layout(variables, batch, k)))
+        lay_fn = _staged("layout", _vjit(
+            lambda v, dec, k: model.sample_layout(v, dec, mean_j,
+                                                  chol_j, k)))
+        mlay_fn = _staged("manip-layout", _vjit(
+            lambda v, batch, k: model.manipulate_layout(v, batch, k)))
         if args.host_denoise and args.sampler == "ddim":
             # host-driven chain: jit ONE step, loop S times from the host
             # (idx is data → one executable for every step). Survives the
             # flaky tunnel: worst case a drop loses one step's dispatch,
             # and every retry resumes from the compile cache.
-            prep_fn = _staged("denoise-prep", jax.jit(
-                lambda uc, c, k, slots: model.denoise_prep(
-                    variables, uc, c, k, shape_slot_idx=slots,
+            prep_fn = _staged("denoise-prep", _vjit(
+                lambda v, uc, c, k, slots: model.denoise_prep(
+                    v, uc, c, k, shape_slot_idx=slots,
                     slot_sharding=slot_sharding)))
-            step_fn = _staged("denoise-step", jax.jit(
-                lambda x, key, i, cin, ucin: model.denoise_step(
-                    variables, x, key, i, cin, ucin,
+            step_fn = _staged("denoise-step", _vjit(
+                lambda v, x, key, i, cin, ucin: model.denoise_step(
+                    v, x, key, i, cin, ucin,
                     slot_sharding=slot_sharding)))
             n_steps = int(np.asarray(model.ddim_tables.timesteps).shape[0])
 
@@ -573,13 +589,13 @@ def main(argv=None):
             if args.host_denoise:
                 print("[!] --host_denoise supports the ddim sampler only; "
                       "using the compiled chain", flush=True)
-            lat_fn = _staged("denoise", jax.jit(
-                lambda uc, c, k, slots: model.gen_latents(
-                    variables, uc, c, k, shape_slot_idx=slots,
+            lat_fn = _staged("denoise", _vjit(
+                lambda v, uc, c, k, slots: model.gen_latents(
+                    v, uc, c, k, shape_slot_idx=slots,
                     sampler=args.sampler, slot_sharding=slot_sharding)))
-        dec_fn = _staged("decode", jax.jit(
-            lambda s: model.decode_latents(variables, s,
-                                           slot_sharding=slot_sharding)))
+        dec_fn = _staged("decode", _vjit(
+            lambda v, s: model.decode_latents(v, s,
+                                              slot_sharding=slot_sharding)))
 
         def sample_fn(dec, k, slots, gen):
             k_z, k_noise = jax.random.split(k)
@@ -601,41 +617,40 @@ def main(argv=None):
                 out["sdf"] = dec_fn(lat)
             return out
     elif not v1_full:
-        @partial(jax.jit, static_argnames=("gen",))
-        def sample_fn(dec, k, slots, gen):
-            return model.sample(variables, dec, mean_j, chol_j, k,
-                                gen_shape=gen, shape_slot_idx=slots,
-                                sampler=args.sampler,
-                                slot_sharding=slot_sharding)
-
-        @partial(jax.jit, static_argnames=("gen",))
-        def manip_fn(batch, k, slots, gen):
-            return model.manipulate_sample(variables, batch, k,
-                                           gen_shape=gen,
-                                           shape_slot_idx=slots,
-                                           sampler=args.sampler)
+        sample_fn = _vjit(
+            lambda v, dec, k, slots, gen: model.sample(
+                v, dec, mean_j, chol_j, k, gen_shape=gen,
+                shape_slot_idx=slots, sampler=args.sampler,
+                slot_sharding=slot_sharding),
+            static_argnames=("gen",))
+        manip_fn = _vjit(
+            lambda v, batch, k, slots, gen: model.manipulate_sample(
+                v, batch, k, gen_shape=gen, shape_slot_idx=slots,
+                sampler=args.sampler),
+            static_argnames=("gen",))
     else:
         from commonscenes_tpu.models.v1_full import V1FullVAE as _V1
 
-        @jax.jit
-        def v1_sample_fn(dec, k):
+        def _v1_sample(v, dec, k):
             BN = dec.objs.shape[0] * dec.objs.shape[1]
             eps = jax.random.normal(k, (BN, mean_j.shape[0]))
             z = mean_j[None, :] + eps @ chol_j.T
             boxes, angles, shapes = model.apply(
-                variables, z, dec, train=False, method=_V1.decode)
+                v, z, dec, train=False, method=_V1.decode)
             return {"boxes": boxes, "angles": angles, "shapes": shapes}
 
-        @jax.jit
-        def v1_manip_fn(batch, codes, k):
+        def _v1_manip(v, batch, codes, k):
             # reference decoder_with_changes for v1_full (VAE.py:195-197):
             # encode the GT encoder view, run the manipulation GCN, decode
-            out = model.apply(variables, batch.enc, batch.dec, codes,
+            out = model.apply(v, batch.enc, batch.dec, codes,
                               batch.node_new, batch.node_changed, k,
                               train=False)
             return {"boxes": out["boxes"], "angles": out["angles"],
                     "shapes": out["shapes"],
                     "keep": batch.keep_mask.reshape(-1)}
+
+        v1_sample_fn = _vjit(_v1_sample)
+        v1_manip_fn = _vjit(_v1_manip)
 
     # ------------------------------------------------------------------
     # evaluation loop (batched; reference validate_constrains_loop[_w_changes])
