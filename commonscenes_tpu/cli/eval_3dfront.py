@@ -389,6 +389,37 @@ def main(argv=None):
                      with_shapes=with_shapes)
     ckpt = os.path.join(args.exp, train_args.outf, f"model_{args.epoch}")
 
+    def _np_template(abstract_state):
+        # numpy zeros (calloc — no physical pages until touched) make
+        # orbax restore HOST-side: the tunneled device never sees the
+        # optimizer moments, which eval doesn't use and which are ~2/3
+        # of the 4.5 GB train checkpoint
+        return jax.tree.map(lambda s: np.zeros(s.shape, s.dtype),
+                            abstract_state)
+
+    def _device_put_sequential(tree, label):
+        """Upload a pytree one leaf at a time.
+
+        The tunneled relay wedges on large CONCURRENT transfers
+        (PERFORMANCE.md, tunneled-transport rules) while sequential
+        ≤64 MB moves are reliable at any volume — so the eval weights
+        go up leaf-by-leaf, with a progress line for the watchdog."""
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        total = sum(getattr(x, "nbytes", 0) for x in leaves) / 2 ** 20
+        print(f"[*] uploading {label}: {len(leaves)} leaves, "
+              f"{total:.0f} MiB", flush=True)
+        out = []
+        done = 0.0
+        for x in leaves:
+            y = jax.device_put(x)
+            jax.block_until_ready(y)
+            out.append(y)
+            done += getattr(x, "nbytes", 0) / 2 ** 20
+            if leaves and done and int(done) // 512 != \
+                    int(done - getattr(x, "nbytes", 0) / 2 ** 20) // 512:
+                print(f"[*]   ... {done:.0f}/{total:.0f} MiB", flush=True)
+        return jax.tree_util.tree_unflatten(treedef, out)
+
     if v1_full:
         from commonscenes_tpu.models.v1_full import (ShapeRetrieval,
                                                      V1FullVAE,
@@ -411,15 +442,24 @@ def main(argv=None):
                                 vocab.num_pred_classes)
         codes0 = jnp.asarray(pseudo_shape_codes(
             np.asarray(batch0.dec.objs), dim=cfg.layout.shape_input_dim))
-        state = trainer.init_state(jax.random.PRNGKey(0), batch0, codes0)
         if os.path.exists(ckpt):
             from commonscenes_tpu.train.checkpoints import \
                 restore_v1_checkpoint
+            # the checkpoint overwrites every state leaf, so a traced
+            # eval_shape skeleton is template enough for orbax — skips
+            # the on-device random-init compile (minutes per retry on
+            # the tunneled device)
+            state = _np_template(jax.eval_shape(
+                trainer.init_state, jax.random.PRNGKey(0), batch0, codes0))
             state, _ = restore_v1_checkpoint(ckpt, state)
             print(f"[*] loaded {ckpt}")
         else:
+            state = trainer.init_state(jax.random.PRNGKey(0), batch0,
+                                       codes0)
             print(f"[!] checkpoint {ckpt} missing — evaluating random init")
-        variables = {"params": state.params, "batch_stats": state.stats}
+        variables = _device_put_sequential(
+            {"params": state.params, "batch_stats": state.stats},
+            "v1 eval weights")
 
         # retrieval database (reference model/VAE.py:29-46): real DeepSDF
         # codes when the dataset ships them, else per-class pseudo-codes.
@@ -444,18 +484,23 @@ def main(argv=None):
         model = CommonScenesV2Full(cfg, vocab.num_obj_classes,
                                    vocab.num_pred_classes, dtype=dtype)
         trainer = V2FullTrainer(cfg, model, with_shapes=with_shapes)
-        state = trainer.init_state(jax.random.PRNGKey(0), batch0)
         if os.path.exists(ckpt):
+            # abstract template: every leaf is overwritten by the
+            # restore, so eval_shape (pure tracing) replaces the
+            # minutes-long on-device random-init compile
+            state = _np_template(jax.eval_shape(
+                trainer.init_state, jax.random.PRNGKey(0), batch0))
             state, _ = restore_checkpoint(ckpt, state)
             print(f"[*] loaded {ckpt}")
         else:
+            state = trainer.init_state(jax.random.PRNGKey(0), batch0)
             print(f"[!] checkpoint {ckpt} missing — evaluating random init")
-        variables = {
+        variables = _device_put_sequential({
             "layout": {"params": state.gen_params["layout"],
                        "batch_stats": state.gen_stats["layout"]},
             "df": {"params": state.gen_params["df"]} if state.gen_params.get("df") else None,
             "vqvae": {"params": state.vqvae_params} if state.vqvae_params else None,
-        }
+        }, "eval weights")
 
     # ------------------------------------------------------------------
     # train-set latent statistics over the FULL split (cached;

@@ -101,8 +101,22 @@ def save_checkpoint(path: str, state, epoch: int = 0) -> None:
     ckptr.wait_until_finished()
 
 
+def _counter_template(step):
+    """Meta-counter template leaf that also accepts abstract states.
+
+    Eval builds its restore template with jax.eval_shape (skipping the
+    on-device random-init compile entirely); a ShapeDtypeStruct step
+    can't go through np.asarray, but a zero of the same shape/dtype is
+    an equally good orbax template."""
+    if isinstance(step, jax.ShapeDtypeStruct):
+        return np.zeros(step.shape, step.dtype)
+    return np.asarray(step)
+
+
 def restore_checkpoint(path: str, state):
-    """Restore into an existing TrainState template (shapes must match)."""
+    """Restore into a TrainState template (shapes must match; the
+    template may be abstract — from jax.eval_shape — since every leaf
+    is overwritten by the restore)."""
     import orbax.checkpoint as ocp
     path = os.path.abspath(path)
     template = {
@@ -113,7 +127,8 @@ def restore_checkpoint(path: str, state):
         "batch_stats": {"layout": state.gen_stats["layout"],
                         "disc": state.disc_stats or {}},
         "opt": {"gen": state.gen_opt, "disc": state.disc_opt},
-        "meta": {"epoch": np.asarray(0), "counter": np.asarray(state.step)},
+        "meta": {"epoch": np.asarray(0),
+                 "counter": _counter_template(state.step)},
     }
     ckptr = ocp.StandardCheckpointer()
     tree = ckptr.restore(path, target=template)
@@ -836,7 +851,8 @@ def restore_v1_checkpoint(path: str, state):
         "boxd": state.boxd_params or {},
         "opt": {"vae": state.opt, "aux": state.aux_opt,
                 "boxd": state.boxd_opt},
-        "meta": {"epoch": np.asarray(0), "counter": np.asarray(state.step)},
+        "meta": {"epoch": np.asarray(0),
+                 "counter": _counter_template(state.step)},
     }
     ckptr = ocp.StandardCheckpointer()
     tree = ckptr.restore(os.path.abspath(path), target=template)
