@@ -271,9 +271,38 @@ def _supervise() -> int:
     attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
     timeout_s = int(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "2700"))
     probe_limit = int(os.environ.get("BENCH_PROBE_LIMIT", "10"))
+    holder_wait = int(os.environ.get("BENCH_HOLDER_WAIT", "5400"))
     here = os.path.dirname(os.path.abspath(__file__))
     probe = os.path.join(here, "tools", "tpu_up.py")
     env = dict(os.environ, BENCH_SUPERVISE="0")
+
+    pidfiles = os.environ.get(
+        "BENCH_HOLDER_PIDFILES", "/tmp/chain.pid:/tmp/queue.pid").split(":")
+
+    def _live_holder():
+        """Another long-running TPU job on this host (two concurrent
+        TPU-touching processes deadlock the tunnel). The chain/queue
+        runners advertise themselves via pidfiles."""
+        for pf in pidfiles:
+            try:
+                with open(pf) as fh:
+                    pid = int(fh.read().strip())
+                os.kill(pid, 0)
+                return pf, pid
+            except (OSError, ValueError):
+                continue
+        return None
+
+    waited = 0
+    while waited < holder_wait:
+        holder = _live_holder()
+        if holder is None:
+            break
+        print(f"[bench] TPU held by {holder[0]} (pid {holder[1]}) — "
+              f"waiting 60s ({waited}/{holder_wait}s)",
+              file=sys.stderr, flush=True)
+        time.sleep(60)
+        waited += 60
 
     for i in range(attempts):
         for p in range(probe_limit):

@@ -74,3 +74,31 @@ def test_all_attempts_fail_is_nonzero(monkeypatch, capsys):
     _patch(monkeypatch, [_R(1, b""), subprocess.TimeoutExpired("x", 1)])
     assert bench._supervise() == 1
     assert capsys.readouterr().out.strip() == ""  # no lying JSON on failure
+
+
+def test_waits_for_live_tpu_holder(monkeypatch, capsys, tmp_path):
+    """The driver's end-of-round bench must not dispatch while the eval
+    chain / follow-up queue holds the TPU (two concurrent TPU-touching
+    processes deadlock the tunnel) — it waits on the advertised pidfiles
+    until the holder exits or the bounded wait expires."""
+    import os
+    pf = tmp_path / "chain.pid"
+    pf.write_text(str(os.getpid()))  # this test process: always alive
+    monkeypatch.setenv("BENCH_HOLDER_PIDFILES", str(pf))
+    monkeypatch.setenv("BENCH_HOLDER_WAIT", "120")
+    sleeps = []
+    _patch(monkeypatch, [_R(0, JSON_LINE + b"\n")])
+    monkeypatch.setattr(bench.time, "sleep", lambda s: sleeps.append(s))
+    assert bench._supervise() == 0
+    err = capsys.readouterr().err
+    assert err.count("TPU held by") == 2  # 120s bound / 60s polls
+
+
+def test_dead_holder_pidfile_does_not_block(monkeypatch, capsys, tmp_path):
+    pf = tmp_path / "queue.pid"
+    pf.write_text("999999999")  # no such pid
+    monkeypatch.setenv("BENCH_HOLDER_PIDFILES", str(pf))
+    monkeypatch.setenv("BENCH_HOLDER_WAIT", "5400")
+    _patch(monkeypatch, [_R(0, JSON_LINE + b"\n")])
+    assert bench._supervise() == 0
+    assert "TPU held by" not in capsys.readouterr().err
