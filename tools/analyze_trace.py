@@ -65,50 +65,56 @@ def main():
     from xprof.convert import raw_to_tool_data as rtd
 
     # framework_op_stats = the per-op table (device time, occurrences,
-    # FLOP rate where known); returned as CSV when tqx=out:csv
+    # FLOP rate where known). xprof returns a LIST of gviz DataTables as
+    # JSON (host table + device table), regardless of the tqx hint — the
+    # out:csv path is not wired in this build (verified on a smoke trace).
     data, _ = rtd.xspace_to_tool_data(
-        xs, "framework_op_stats", {"tqx": "out:csv;"})
+        xs, "framework_op_stats", {"tqx": "out:json;"})
     if isinstance(data, bytes):
         data = data.decode()
-
-    import csv as _csv
-    import io
-    rows = list(_csv.reader(io.StringIO(data)))
-    if not rows:
-        sys.exit("empty op stats")
-    hdr = rows[0]
-    idx = {h: i for i, h in enumerate(hdr)}
-
-    def col(r, *names, default=""):
-        for n in names:
-            if n in idx and idx[n] < len(r):
-                return r[idx[n]]
-        return default
+    tables = json.loads(data)
+    if not isinstance(tables, list):
+        tables = [tables]
 
     ops = []
-    for r in rows[1:]:
-        if not r or len(r) < 3:
-            continue
-        try:
-            t = float(col(r, "total_self_time", "Total self-time (us)",
-                          "self_time_us", default="0") or 0)
-        except ValueError:
-            continue
-        host = (col(r, "host_or_device", "Host/device").lower() == "host")
-        ops.append({
-            "op": col(r, "operation", "Operation", "op_name"),
-            "type": col(r, "type", "Type", "category"),
-            "self_us": t,
-            "host": host,
-            "occurrences": col(r, "occurrences", "#Occurrences"),
-            "flop_rate": col(r, "measured_flop_rate",
-                             "Normalized FLOP Rate (GFLOPs/Sec)"),
-            "bandwidth": col(r, "measured_memory_bw",
-                             "Measured memory BW (GBytes/Sec)"),
-            "bound_by": col(r, "bound_by", "Bound by"),
-        })
+    for tbl in tables:
+        ids = [c.get("id", "") for c in tbl.get("cols", [])]
+
+        def col(cells, name, default=""):
+            if name not in ids:
+                return default
+            i = ids.index(name)
+            if i >= len(cells):
+                return default
+            v = (cells[i] or {}).get("v")
+            return default if v is None else v
+
+        for row in tbl.get("rows", []):
+            cells = row.get("c", [])
+            op = str(col(cells, "operation"))
+            if not op or op == "IDLE":
+                continue
+            try:
+                t = float(col(cells, "total_self_time", 0) or 0)
+            except (TypeError, ValueError):
+                continue
+            ops.append({
+                "op": op,
+                "type": str(col(cells, "type")),
+                "self_us": t,
+                "host": str(col(cells, "host_or_device")).lower() == "host",
+                "occurrences": col(cells, "occurrences"),
+                "flop_rate": col(cells, "measured_flop_rate"),
+                "bandwidth": col(cells, "measured_memory_bw"),
+                "intensity": col(cells, "operational_intensity"),
+                "bound_by": col(cells, "bound_by"),
+            })
 
     dev = [o for o in ops if not o["host"]]
+    scope = "device"
+    if not dev:  # e.g. a CPU smoke trace: no device plane at all
+        dev = [o for o in ops if o["host"]]
+        scope = "host (no device ops in trace)"
     total = sum(o["self_us"] for o in dev) or 1.0
     by_cat = {}
     for o in dev:
@@ -116,8 +122,11 @@ def main():
         by_cat[c] = by_cat.get(c, 0.0) + o["self_us"]
 
     dev.sort(key=lambda o: -o["self_us"])
+    fields = ("op", "type", "self_us", "occurrences", "flop_rate",
+              "bandwidth", "intensity", "bound_by")
     summary = {
         "xplanes": xs,
+        "scope": scope,
         "device_total_us": round(total, 1),
         "by_category_us": {k: round(v, 1)
                            for k, v in sorted(by_cat.items(),
@@ -125,14 +134,15 @@ def main():
         "by_category_pct": {k: round(100 * v / total, 1)
                             for k, v in sorted(by_cat.items(),
                                                key=lambda kv: -kv[1])},
-        "top_ops": [{k: o[k] for k in
-                     ("op", "type", "self_us", "occurrences", "flop_rate",
-                      "bandwidth", "bound_by")}
-                    for o in dev[:args.top]],
+        "top_ops": [{k: o[k] for k in fields} for o in dev[:args.top]],
     }
     if args.csv:
-        with open(args.csv, "w") as f:
-            f.write(data)
+        import csv as _csv
+        with open(args.csv, "w", newline="") as f:
+            w = _csv.DictWriter(f, fieldnames=fields + ("host",))
+            w.writeheader()
+            for o in sorted(ops, key=lambda o: -o["self_us"]):
+                w.writerow(o)
         summary["csv"] = args.csv
     print(json.dumps(summary, indent=1))
 
