@@ -65,6 +65,20 @@ retry() {
         wait_tunnel || return 1
     done
 }
+# CPU-only steps must not block on a down tunnel (r5: step 8 sat in the
+# probe loop for an hour over work that never touches the device)
+cpu_retry() {
+    local n=0
+    until COMMONSCENES_PLATFORM=cpu "$@"; do
+        n=$((n + 1))
+        if [ "$n" -ge "$RETRIES" ]; then
+            echo "[!] failed after $RETRIES attempts: $*" >&2
+            return 1
+        fi
+        echo "[!] attempt $n failed — retrying in ${RETRY_SLEEP:-20}s" >&2
+        sleep "${RETRY_SLEEP:-20}"
+    done
+}
 
 mkdir -p "$OUT"
 
@@ -175,10 +189,10 @@ retry python -m commonscenes_tpu.cli.compute_fid --path_gt "$OUT/gt_renders" \
     2>&1 | tee "$OUT/fid.log"
 
 echo "=== [8/8] consistency ==="
-retry python -m commonscenes_tpu.cli.collect_consistency --dataset "$TREE" \
+cpu_retry python -m commonscenes_tpu.cli.collect_consistency --dataset "$TREE" \
     --room_type bedroom --split test \
     --out "$OUT/consistencies_bedroom_test.json"
-retry python -m commonscenes_tpu.cli.consistency_check \
+cpu_retry python -m commonscenes_tpu.cli.consistency_check \
     --export_dir "$OUT/exports" \
     --pairs_json "$OUT/consistencies_bedroom_test.json" \
     --out "$OUT/consistency.json" 2>&1 | tee "$OUT/consistency.log"
